@@ -1,0 +1,133 @@
+"""Chinese grapheme-to-phoneme conversion.
+
+Converts mixed hanzi / raw-pinyin / digit text into the framework's phoneme
+token sequence (space-split initials and toned finals plus 「，。？！」).
+
+Feature parity with the reference G2P (tacotron/pinyin/parse_text_to_pyin.py:
+164-236): raw-pinyin passthrough for mixed input, digit-run verbalization via
+``int_to_words``, greedy phrase-dictionary match before per-char lookup, and
+optional ``#1``-``#4`` prosody markers.  The dictionaries are the versioned
+artifacts built by ``tools/build_lexicon.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+from .normalize import KEPT_PUNCT, int_to_words, normalize_text
+from .pinyin_utils import split_syllable
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+_RAW_PINYIN = re.compile(r"[a-z]+[0-4]?")
+
+
+class Lexicon:
+    """Char + phrase pronunciation dictionaries (tone-digit syllables)."""
+
+    def __init__(self, char_tsv: str, phrase_tsv: str):
+        self.char: dict[str, list[str]] = {}
+        with open(char_tsv, encoding="utf-8") as f:
+            for line in f:
+                ch, _, readings = line.rstrip("\n").partition("\t")
+                if ch and readings:
+                    self.char[ch] = readings.split(",")
+        # phrases indexed by first char for greedy longest-match
+        self.phrase: dict[str, list[tuple[str, list[str]]]] = {}
+        with open(phrase_tsv, encoding="utf-8") as f:
+            for line in f:
+                phrase, _, reading = line.rstrip("\n").partition("\t")
+                if phrase and reading:
+                    self.phrase.setdefault(phrase[0], []).append(
+                        (phrase, reading.split(" "))
+                    )
+        # longest phrases first so greedy match prefers maximal context
+        for entries in self.phrase.values():
+            entries.sort(key=lambda e: -len(e[0]))
+
+
+@lru_cache(maxsize=1)
+def default_lexicon() -> Lexicon:
+    return Lexicon(
+        os.path.join(_DATA_DIR, "char_pinyin.tsv"),
+        os.path.join(_DATA_DIR, "phrase_pinyin.tsv"),
+    )
+
+
+def get_pyin(
+    text: str, keep_prosody: bool = False, lexicon: Lexicon | None = None
+) -> tuple[str, str]:
+    """Text -> (space-joined phoneme string, normalized text).
+
+    >>> get_pyin("你好。")[0]
+    'n i3 h ao3 。'
+    """
+    lex = lexicon or default_lexicon()
+    text = normalize_text(text, keep_prosody=keep_prosody)
+    tokens: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        # prosody markers (only survive normalization when keep_prosody)
+        if ch == "#":
+            if i + 1 < n and text[i + 1] in "1234":
+                tokens.append(text[i : i + 2])
+                i += 2
+            else:
+                i += 1
+            continue
+        # raw pinyin run: letters + optional tone digit ("n i3 hao3" input)
+        if "a" <= ch <= "z":
+            m = _RAW_PINYIN.match(text, i)
+            syllable = m.group(0)
+            tokens.extend(split_syllable(syllable))
+            i = m.end()
+            if i < n and text[i] == " ":
+                i += 1
+            continue
+        # digit run -> hanzi words -> recurse
+        if ch.isdigit():
+            j = i
+            while j < n and text[j].isdigit():
+                j += 1
+            num = text[i:j]
+            # decimal number?
+            if j < n - 1 and text[j] == "." and text[j + 1].isdigit():
+                k = j + 1
+                while k < n and text[k].isdigit():
+                    k += 1
+                from .normalize import float_to_words
+
+                words = float_to_words(text[i:k])
+                j = k
+            else:
+                words = int_to_words(num)
+            sub, _ = get_pyin(words, lexicon=lex)
+            tokens.extend(t for t in sub.split(" ") if t)
+            i = j
+            continue
+        # greedy phrase-dictionary match (polyphone disambiguation)
+        matched = False
+        for phrase, reading in lex.phrase.get(ch, ()):
+            if text.startswith(phrase, i):
+                for syl in reading:
+                    tokens.extend(split_syllable(syl))
+                i += len(phrase)
+                matched = True
+                break
+        if matched:
+            continue
+        # per-char default reading
+        readings = lex.char.get(ch)
+        if readings:
+            tokens.extend(split_syllable(readings[0]))
+        elif ch in KEPT_PUNCT:
+            tokens.append(ch)
+        elif ch != " ":
+            # unknown char: pass through (tokenizer will drop OOV)
+            tokens.append(ch)
+        i += 1
+    return " ".join(tokens), text

@@ -1,0 +1,15 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip sharding logic is tested on a virtual CPU mesh
+(xla_force_host_platform_device_count) so no real pod is needed; the real
+TPU chip is exercised by bench.py, not the unit tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
