@@ -1,0 +1,498 @@
+"""Tacotron-2 acoustic model: phoneme ids -> mel spectrogram.
+
+TPU-first re-design of the reference graph (tacotron/models/tacotron.py:28-192):
+the decoder is a single fused step function run under ``lax.scan`` (teacher
+forced training / GTA) or ``lax.while_loop`` with static-shape output buffers
+(autoregressive inference with dynamic stop), instead of TF1's
+``dynamic_decode``.  All four attention variants plug in via
+``models.attention``'s shared state protocol.
+
+Architecture (reference tacotron_hparams.py:100-160):
+  embedding(128) -> 3x[conv5-256 + BN + relu + drop] -> BiLSTM(256/dir, zoneout .1)
+  -> decoder: prenet[256,256] (always-on dropout) + 2xZoneoutLSTM(256)
+     + attention + frame/stop projections (r=1)
+  -> 5-layer postnet (tanh conv5-256, final linear) + residual projection
+  -> optional CBHG mel->linear head.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TacotronModelConfig
+from . import attention as A
+from . import layers as L
+
+Params = Dict[str, Any]
+
+
+class TacotronOutput(NamedTuple):
+    decoder_output: jax.Array  # [B, T_out, M] pre-postnet mels
+    mel_outputs: jax.Array  # [B, T_out, M] post-postnet mels
+    stop_logits: jax.Array  # [B, T_out]
+    alignments: jax.Array  # [B, T_dec, T_in]
+    stop_lengths: jax.Array | None = None  # [B] inference: frames until stop
+    linear_outputs: jax.Array | None = None  # [B, T_out, F] CBHG head
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_tacotron(key, cfg: TacotronModelConfig) -> Params:
+    ks = jax.random.split(key, 16)
+    enc_out = 2 * cfg.encoder_lstm_units  # concat fw+bw
+    dec_in = cfg.prenet_layers[-1] + enc_out
+    proj_in = cfg.decoder_lstm_units + enc_out
+    M, r = 80, cfg.outputs_per_step
+
+    params: Params = {
+        "embedding": L.uniform_embedding(ks[0], (cfg.vocab_size, cfg.embedding_dim)),
+        "enc_convs": L.conv_stack_init(
+            ks[1], cfg.enc_conv_layers, cfg.enc_conv_kernel, cfg.embedding_dim, cfg.enc_conv_channels
+        ),
+        "enc_lstm_fw": L.lstm_init(ks[2], cfg.enc_conv_channels, cfg.encoder_lstm_units),
+        "enc_lstm_bw": L.lstm_init(ks[3], cfg.enc_conv_channels, cfg.encoder_lstm_units),
+        "attention": A.init_params(ks[4], cfg, enc_out, cfg.decoder_lstm_units),
+        "prenet": L.prenet_init(ks[5], M, cfg.prenet_layers),
+        "dec_lstm1": L.lstm_init(ks[6], dec_in, cfg.decoder_lstm_units),
+        "dec_lstm2": L.lstm_init(ks[7], cfg.decoder_lstm_units, cfg.decoder_lstm_units),
+        "frame_projection": L.dense_init(ks[8], proj_in, M * r),
+        "stop_projection": L.dense_init(ks[9], proj_in, r),
+        "postnet": L.conv_stack_init(ks[10], cfg.postnet_layers, cfg.postnet_kernel, M, cfg.postnet_channels),
+        "postnet_projection": L.dense_init(ks[11], cfg.postnet_channels, M),
+    }
+    if cfg.predict_linear:
+        params["cbhg"] = init_cbhg(ks[12], cfg, in_dim=M)
+        params["linear_projection"] = L.dense_init(ks[13], 2 * cfg.cbhg_rnn_units, 1025)
+    return params
+
+
+def init_cbhg(key, cfg: TacotronModelConfig, in_dim: int) -> Params:
+    """CBHG mel->linear head (reference modules.py:4-78)."""
+    ks = jax.random.split(key, cfg.cbhg_kernels + 8)
+    bank = []
+    for k in range(1, cfg.cbhg_kernels + 1):
+        bank.append(
+            {
+                "conv": L.conv1d_init(ks[k - 1], k, in_dim, cfg.cbhg_conv_channels),
+                "bn": L.batchnorm_init(cfg.cbhg_conv_channels),
+            }
+        )
+    j = cfg.cbhg_kernels
+    proj1 = {
+        "conv": L.conv1d_init(ks[j], 3, cfg.cbhg_kernels * cfg.cbhg_conv_channels, cfg.cbhg_projection),
+        "bn": L.batchnorm_init(cfg.cbhg_projection),
+    }
+    proj2 = {
+        "conv": L.conv1d_init(ks[j + 1], 3, cfg.cbhg_projection, in_dim),
+        "bn": L.batchnorm_init(in_dim),
+    }
+    highway_in = L.dense_init(ks[j + 2], in_dim, cfg.cbhg_highway_units)
+    highways = [
+        L.highway_init(ks[j + 3 + i], cfg.cbhg_highway_units)
+        for i in range(cfg.cbhg_highwaynet_layers)
+    ]
+    gru_fw = L.gru_init(ks[j + 7], cfg.cbhg_highway_units, cfg.cbhg_rnn_units)
+    gru_bw = L.gru_init(ks[j + 7], cfg.cbhg_highway_units, cfg.cbhg_rnn_units)
+    return {
+        "bank": bank,
+        "proj1": proj1,
+        "proj2": proj2,
+        "highway_in": highway_in,
+        "highways": highways,
+        "gru_fw": gru_fw,
+        "gru_bw": gru_bw,
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def encode(
+    params: Params,
+    cfg: TacotronModelConfig,
+    inputs: jax.Array,  # [B, T_in] int32
+    input_lengths: jax.Array,  # [B]
+    train: bool,
+    rng: jax.Array,
+):
+    """Returns (memory [B,T,512], updated conv-BN params)."""
+    x = params["embedding"][inputs]  # [B, T, 128]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x, new_convs = L.conv_stack(params["enc_convs"], x, k1, train, cfg.dropout_rate)
+    fw = L.unidir_lstm(
+        params["enc_lstm_fw"], x, k2, cfg.encoder_lstm_units, cfg.zoneout_rate, train
+    )
+    bw = L.unidir_lstm(
+        params["enc_lstm_bw"], x, k3, cfg.encoder_lstm_units, cfg.zoneout_rate, train,
+        reverse=True, lengths=input_lengths,
+    )
+    memory = jnp.concatenate([fw, bw], axis=-1)
+    # zero out positions past input length (tf dynamic_rnn semantics)
+    mask = jnp.arange(inputs.shape[1])[None, :] < input_lengths[:, None]
+    memory = memory * mask[..., None]
+    return memory, new_convs
+
+
+# ---------------------------------------------------------------------------
+# decoder step (the fused hot path)
+# ---------------------------------------------------------------------------
+
+
+class DecoderCarry(NamedTuple):
+    c1: jax.Array
+    h1: jax.Array
+    c2: jax.Array
+    h2: jax.Array
+    att: A.AttentionState
+
+
+def init_decoder_carry(cfg: TacotronModelConfig, batch: int, mem_len: int, value_dim: int) -> DecoderCarry:
+    u = cfg.decoder_lstm_units
+    z = lambda: jnp.zeros((batch, u))
+    return DecoderCarry(z(), z(), z(), z(), A.init_state(cfg, batch, mem_len, value_dim))
+
+
+def decoder_step(
+    params: Params,
+    cfg: TacotronModelConfig,
+    prev_frame: jax.Array,  # [B, M] previous mel frame (GT or predicted)
+    carry: DecoderCarry,
+    keys: jax.Array,
+    values: jax.Array,
+    mem_mask: jax.Array,
+    train: bool,
+    rng: jax.Array,
+):
+    """One decoder step (reference Architecture_wrappers.py:175-218):
+    prenet -> concat(context) -> 2x ZoneoutLSTM -> attention -> projections."""
+    k_pre, k_z1, k_z2, k_att = jax.random.split(rng, 4)
+    pre = L.prenet(params["prenet"], prev_frame, k_pre, cfg.dropout_rate)
+    x = jnp.concatenate([pre, carry.att.context], axis=-1)
+    c1, h1 = L.zoneout_lstm_step(params["dec_lstm1"], x, carry.c1, carry.h1, k_z1, cfg.zoneout_rate, train)
+    c2, h2 = L.zoneout_lstm_step(params["dec_lstm2"], h1, carry.c2, carry.h2, k_z2, cfg.zoneout_rate, train)
+    context, align, att_state = A.step(
+        params["attention"], cfg, h2, carry.att, keys, values, mem_mask, train, k_att
+    )
+    proj_in = jnp.concatenate([h2, context], axis=-1)
+    frames = L.dense(params["frame_projection"], proj_in)  # [B, M*r]
+    stop = L.dense(params["stop_projection"], proj_in)  # [B, r]
+    return frames, stop, align, DecoderCarry(c1, h1, c2, h2, att_state)
+
+
+# ---------------------------------------------------------------------------
+# teacher-forced decode (training / GTA) — lax.scan over time
+# ---------------------------------------------------------------------------
+
+
+def decode_teacher_forced(
+    params: Params,
+    cfg: TacotronModelConfig,
+    memory: jax.Array,
+    mem_mask: jax.Array,
+    mel_targets: jax.Array,  # [B, T_out, M], T_out divisible by r
+    train: bool,
+    rng: jax.Array,
+):
+    """Always-teacher-forced decode (reference helpers.py:136-142: the
+    next input is unconditionally the ground-truth frame, which is what makes
+    GTA generation work).  Returns (frames [B,T_out,M], stops [B,T_out],
+    alignments [B,T_dec,T_in])."""
+    B, T_out, M = mel_targets.shape
+    r = cfg.outputs_per_step
+    T_dec = T_out // r
+    keys = A.precompute_keys(params["attention"], cfg, memory)
+
+    # decoder inputs: <GO> zero frame then target frames strided by r
+    # (reference helpers.py:84: targets[:, r-1::r]), shifted right one step
+    strided = mel_targets[:, r - 1 :: r, :]  # [B, T_dec, M]
+    go = jnp.zeros((B, 1, M), mel_targets.dtype)
+    dec_inputs = jnp.concatenate([go, strided[:, :-1, :]], axis=1)  # [B, T_dec, M]
+
+    step_rngs = jax.random.split(rng, T_dec)
+
+    def body(carry, inp):
+        prev_frame, k = inp
+        frames, stop, align, carry = decoder_step(
+            params, cfg, prev_frame, carry, keys, memory, mem_mask, train, k
+        )
+        return carry, (frames, stop, align)
+
+    carry0 = init_decoder_carry(cfg, B, memory.shape[1], memory.shape[2])
+    _, (frames, stops, aligns) = jax.lax.scan(
+        body, carry0, (jnp.swapaxes(dec_inputs, 0, 1), step_rngs)
+    )
+    frames = jnp.swapaxes(frames, 0, 1).reshape(B, T_out, M)
+    stops = jnp.swapaxes(stops, 0, 1).reshape(B, T_out)
+    aligns = jnp.swapaxes(aligns, 0, 1)  # [B, T_dec, T_in]
+    return frames, stops, aligns
+
+
+# ---------------------------------------------------------------------------
+# autoregressive decode (inference) — lax.while_loop with static buffers
+# ---------------------------------------------------------------------------
+
+
+def decode_autoregressive(
+    params: Params,
+    cfg: TacotronModelConfig,
+    memory: jax.Array,
+    mem_mask: jax.Array,
+    rng: jax.Array,
+    max_iters: int | None = None,
+):
+    """Dynamic-stop decode: stops when sigmoid(stop) > 0.5 (any frame of the
+    batch-any policy, reference helpers.py:46-61) or at ``max_iters``
+    (reference tacotron.py:96-103).  Static [max_iters] buffers keep shapes
+    XLA-friendly; returns per-example stop lengths for host-side trimming."""
+    B, T_in, V = memory.shape
+    M, r = 80, cfg.outputs_per_step
+    T = max_iters if max_iters is not None else cfg.max_iters
+    keys = A.precompute_keys(params["attention"], cfg, memory)
+
+    frames_buf = jnp.zeros((T, B, M * r))
+    stops_buf = jnp.zeros((T, B, r))
+    aligns_buf = jnp.zeros((T, B, T_in))
+    carry0 = init_decoder_carry(cfg, B, T_in, V)
+    prev0 = jnp.zeros((B, M))
+    finished0 = jnp.zeros((B,), bool)
+    stop_len0 = jnp.full((B,), T, jnp.int32)
+
+    def cond(loop):
+        t, _, _, _, _, _, finished, _ = loop
+        return (t < T) & ~jnp.all(finished)
+
+    def body(loop):
+        t, carry, prev, fb, sb, ab, finished, stop_len = loop
+        k = jax.random.fold_in(rng, t)
+        frames, stop, align, carry = decoder_step(
+            params, cfg, prev, carry, keys, memory, mem_mask, False, k
+        )
+        fb = fb.at[t].set(frames)
+        sb = sb.at[t].set(stop)
+        ab = ab.at[t].set(align)
+        # stop when sigmoid(stop) rounds to 1 for all r frames of an example
+        ex_done = jnp.all(jax.nn.sigmoid(stop) > 0.5, axis=-1)
+        newly = ex_done & ~finished
+        stop_len = jnp.where(newly, t + 1, stop_len)
+        finished = finished | ex_done
+        prev = frames[:, -M:]  # feed last predicted frame
+        return (t + 1, carry, prev, fb, sb, ab, finished, stop_len)
+
+    init = (jnp.int32(0), carry0, prev0, frames_buf, stops_buf, aligns_buf, finished0, stop_len0)
+    t_end, _, _, fb, sb, ab, _, stop_len = jax.lax.while_loop(cond, body, init)
+
+    frames = jnp.swapaxes(fb, 0, 1).reshape(B, T * r, M)
+    stops = jnp.swapaxes(sb, 0, 1).reshape(B, T * r)
+    aligns = jnp.swapaxes(ab, 0, 1)
+    return frames, stops, aligns, stop_len * r
+
+
+# ---------------------------------------------------------------------------
+# postnet / CBHG / full forward
+# ---------------------------------------------------------------------------
+
+
+def apply_postnet(params: Params, cfg: TacotronModelConfig, frames: jax.Array, train: bool, rng):
+    """5x tanh convs (last linear) + residual projection
+    (reference modules.py:345-376, tacotron.py:115-122)."""
+    acts = [jnp.tanh] * (cfg.postnet_layers - 1) + [None]
+    x, new_p = L.conv_stack(params["postnet"], frames, rng, train, cfg.dropout_rate, activations=acts)
+    residual = L.dense(params["postnet_projection"], x)
+    return frames + residual, new_p
+
+
+def apply_cbhg(params: Params, cfg: TacotronModelConfig, x: jax.Array, train: bool, rng):
+    """CBHG: K-wide conv bank + maxpool + projections + highway + BiGRU."""
+    p = params["cbhg"]
+    outs = []
+    new_bank = []
+    for i, lp in enumerate(p["bank"]):
+        y = jax.nn.relu(L.conv1d(lp["conv"], x))
+        y, nb = L.batchnorm(lp["bn"], y, train)
+        new_bank.append({"conv": lp["conv"], "bn": nb})
+        outs.append(y)
+    y = jnp.concatenate(outs, axis=-1)
+    # maxpool width 2 stride 1, SAME
+    y = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, cfg.cbhg_pool_size, 1), (1, 1, 1), "SAME"
+    )
+    y = jax.nn.relu(L.conv1d(p["proj1"]["conv"], y))
+    y, nbn1 = L.batchnorm(p["proj1"]["bn"], y, train)
+    y = L.conv1d(p["proj2"]["conv"], y)
+    y, nbn2 = L.batchnorm(p["proj2"]["bn"], y, train)
+    y = y + x  # residual
+    y = L.dense(p["highway_in"], y)
+    for hp_ in p["highways"]:
+        y = L.highway(hp_, y)
+    fw = L.gru_scan(p["gru_fw"], y)
+    bw = L.gru_scan(p["gru_bw"], y[:, ::-1])[:, ::-1]
+    rnn_out = jnp.concatenate([fw, bw], axis=-1)
+    linear = L.dense(params["linear_projection"], rnn_out)
+    new_p = dict(p, bank=new_bank, proj1=dict(p["proj1"], bn=nbn1), proj2=dict(p["proj2"], bn=nbn2))
+    return linear, new_p
+
+
+def _clip_mel(x: jax.Array, cfg: TacotronModelConfig) -> jax.Array:
+    """Output clipping (reference tacotron.py:111-112,119-122)."""
+    if not cfg.clip_outputs:
+        return x
+    m = 4.0
+    return jnp.clip(x, -m - cfg.lower_bound_decay, m)
+
+
+def forward_teacher_forced(
+    params: Params,
+    cfg: TacotronModelConfig,
+    inputs: jax.Array,
+    input_lengths: jax.Array,
+    mel_targets: jax.Array,
+    train: bool,
+    rng: jax.Array,
+):
+    """Full teacher-forced forward; returns (TacotronOutput, new_params)."""
+    k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
+    memory, new_enc_convs = encode(params, cfg, inputs, input_lengths, train, k_enc)
+    mem_mask = (jnp.arange(inputs.shape[1])[None, :] < input_lengths[:, None]).astype(jnp.float32)
+    frames, stops, aligns = decode_teacher_forced(
+        params, cfg, memory, mem_mask, mel_targets, train, k_dec
+    )
+    frames = _clip_mel(frames, cfg)
+    mel_out, new_postnet = apply_postnet(params, cfg, frames, train, k_post)
+    mel_out = _clip_mel(mel_out, cfg)
+    linear = None
+    new_params = dict(params, enc_convs=new_enc_convs, postnet=new_postnet)
+    if cfg.predict_linear:
+        linear, new_cbhg = apply_cbhg(params, cfg, mel_out, train, k_cbhg)
+        new_params["cbhg"] = new_cbhg
+    return (
+        TacotronOutput(frames, mel_out, stops, aligns, None, linear),
+        new_params,
+    )
+
+
+def forward_inference(
+    params: Params,
+    cfg: TacotronModelConfig,
+    inputs: jax.Array,
+    input_lengths: jax.Array,
+    rng: jax.Array,
+    max_iters: int | None = None,
+):
+    k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
+    memory, _ = encode(params, cfg, inputs, input_lengths, False, k_enc)
+    mem_mask = (jnp.arange(inputs.shape[1])[None, :] < input_lengths[:, None]).astype(jnp.float32)
+    frames, stops, aligns, stop_len = decode_autoregressive(
+        params, cfg, memory, mem_mask, k_dec, max_iters
+    )
+    frames = _clip_mel(frames, cfg)
+    mel_out, _ = apply_postnet(params, cfg, frames, False, k_post)
+    mel_out = _clip_mel(mel_out, cfg)
+    linear = None
+    if cfg.predict_linear:
+        linear, _ = apply_cbhg(params, cfg, mel_out, False, k_cbhg)
+    return TacotronOutput(frames, mel_out, stops, aligns, stop_len, linear)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def tacotron_loss(
+    out: TacotronOutput,
+    mel_targets: jax.Array,
+    stop_targets: jax.Array,
+    target_lengths: jax.Array,
+    params: Params,
+    cfg: TacotronModelConfig,
+    reg_weight: float = 1e-6,
+    mask_decoder: bool = False,
+    stop_pos_weight: float = 1.0,
+    linear_targets: jax.Array | None = None,
+    sample_rate: int = 22050,
+):
+    """before/after MSE + stop CE + L2 (reference tacotron.py:195-253).
+
+    With ``mask_decoder`` the masked variants of modules.py:403-485 apply.
+    """
+    T = mel_targets.shape[1]
+    mask = (jnp.arange(T)[None, :] < target_lengths[:, None]).astype(jnp.float32)
+
+    if mask_decoder:
+        m3 = mask[..., None]
+        denom = jnp.sum(m3) * mel_targets.shape[-1]
+        before = jnp.sum(((out.decoder_output - mel_targets) ** 2) * m3) / denom
+        after = jnp.sum(((out.mel_outputs - mel_targets) ** 2) * m3) / denom
+        ce = _weighted_sigmoid_ce(stop_targets, out.stop_logits, stop_pos_weight) * mask
+        stop_loss = jnp.sum(ce) / jnp.maximum(jnp.sum((ce != 0).astype(jnp.float32)), 1.0)
+    else:
+        before = jnp.mean((out.decoder_output - mel_targets) ** 2)
+        after = jnp.mean((out.mel_outputs - mel_targets) ** 2)
+        stop_loss = jnp.mean(_weighted_sigmoid_ce(stop_targets, out.stop_logits, 1.0))
+
+    reg = reg_weight * l2_regularizables(params)
+    loss = before + after + stop_loss + reg
+    aux = {"before": before, "after": after, "stop": stop_loss, "reg": reg}
+
+    if linear_targets is not None and out.linear_outputs is not None:
+        l1 = jnp.abs(linear_targets - out.linear_outputs)
+        n_priority = int(2000 / (sample_rate * 0.5) * linear_targets.shape[-1])
+        linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
+        loss = loss + linear_loss
+        aux["linear"] = linear_loss
+
+    aux["loss"] = loss
+    return loss, aux
+
+
+def _weighted_sigmoid_ce(targets, logits, pos_weight: float):
+    """tf.nn.weighted_cross_entropy_with_logits."""
+    log_w = 1.0 + (pos_weight - 1.0) * targets
+    return (1.0 - targets) * logits + log_w * (
+        jnp.log1p(jnp.exp(-jnp.abs(logits))) + jax.nn.relu(-logits)
+    )
+
+
+def l2_regularizables(params: Params) -> jax.Array:
+    """Sum of 0.5*||w||^2 over regularizable weights.
+
+    Excludes biases, LSTM/GRU kernels, embeddings, and projection layers
+    (reference tacotron.py:246-248).
+    """
+    total = 0.0
+    skip_top = {
+        "embedding", "enc_lstm_fw", "enc_lstm_bw", "dec_lstm1", "dec_lstm2",
+        "frame_projection", "stop_projection", "postnet_projection",
+        "linear_projection",
+    }
+
+    def walk(tree, path):
+        nonlocal total
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                walk(v, path + (str(i),))
+        else:
+            if path[0] in skip_top:
+                return
+            name = path[-1]
+            # biases and BN stats are never regularized; 'v' is the attention
+            # projection vector (treated as projection, reference comment)
+            if name in ("b", "bias", "scale", "mean", "var", "v", "bi", "bh"):
+                return
+            if any("gru" in comp for comp in path):  # recurrent kernels
+                return
+            total = total + 0.5 * jnp.sum(tree**2)
+
+    walk(params, ())
+    return total
