@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 from typing import Any, Tuple
 
 
-@dataclass
+@dataclass(frozen=True)
 class AudioConfig:
     """Audio/DSP constants (reference tacotron_hparams.py:82-189)."""
 
@@ -58,7 +58,7 @@ class AudioConfig:
         return 2 ** self.bits
 
 
-@dataclass
+@dataclass(frozen=True)
 class TacotronModelConfig:
     """Acoustic model architecture (reference tacotron_hparams.py:100-160)."""
 
@@ -113,7 +113,7 @@ class TacotronModelConfig:
     lower_bound_decay: float = 0.1
 
 
-@dataclass
+@dataclass(frozen=True)
 class TacotronTrainConfig:
     """Acoustic training (reference tacotron_hparams.py:190-239)."""
 
@@ -147,7 +147,7 @@ class TacotronTrainConfig:
     loss_explosion_threshold: float = 100.0
 
 
-@dataclass
+@dataclass(frozen=True)
 class WaveRNNModelConfig:
     """Vocoder architecture (reference wavernn_hparams.py:27-43)."""
 
@@ -168,7 +168,7 @@ class WaveRNNModelConfig:
         return out
 
 
-@dataclass
+@dataclass(frozen=True)
 class WaveRNNTrainConfig:
     """Vocoder training (reference wavernn_hparams.py:44-52)."""
 
@@ -184,7 +184,7 @@ class WaveRNNTrainConfig:
     max_checkpoints_to_keep: int = 20
 
 
-@dataclass
+@dataclass(frozen=True)
 class WaveRNNGenConfig:
     """Batched-fold generation (reference wavernn_hparams.py:53-58)."""
 
@@ -194,7 +194,7 @@ class WaveRNNGenConfig:
     use_pallas: bool = True
 
 
-@dataclass
+@dataclass(frozen=True)
 class DataConfig:
     dataset_root: str = "./dataset/BZNSYP"
     out_dir: str = "./training_data"
@@ -204,7 +204,7 @@ class DataConfig:
     test_size: float = 0.05  # held-out fraction for eval batches
 
 
-@dataclass
+@dataclass(frozen=True)
 class MeshConfig:
     """GSPMD mesh layout; DP-dominant (models fit on one chip)."""
 
@@ -213,7 +213,7 @@ class MeshConfig:
     fold_axis: str = "data"
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     audio: AudioConfig = field(default_factory=AudioConfig)
     tacotron: TacotronModelConfig = field(default_factory=TacotronModelConfig)

@@ -1,0 +1,132 @@
+"""Length-bucketed batch loader for acoustic-model training.
+
+Replaces the reference's feeder-thread + tf.FIFOQueue(8)
+(tacotron/feeder.py:14-168) with a synchronous numpy iterator producing
+*static-shape* padded batches: within each shuffled group, examples are
+sorted by mel length (bucketing) and split into batches, then batch order is
+shuffled (feeder.py:95-100).  Pad lengths are rounded up to configurable
+multiples so XLA sees a small, finite set of shapes instead of recompiling
+per batch.
+
+Padding conventions (feeder.py:49-57,140-161): inputs pad 0 (the ``_``
+symbol), mels pad -max_abs_value, stop targets are 0 for frames < len-1 and
+1.0 from the final frame onward; target length rounds up to a multiple of r.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import Config
+from ..frontend import default_symbols
+
+
+@dataclass
+class TacotronBatch:
+    inputs: np.ndarray  # [B, T_in] int32
+    input_lengths: np.ndarray  # [B] int32
+    mel_targets: np.ndarray  # [B, T_out, M] float32
+    stop_targets: np.ndarray  # [B, T_out] float32
+    target_lengths: np.ndarray  # [B] int32
+    indices: list  # metadata row indices (for GTA bookkeeping)
+
+
+def _round_up(x: int, m: int) -> int:
+    return x if x % m == 0 else x + m - x % m
+
+
+class TacotronDataset:
+    """Metadata-backed dataset with deterministic epoch shuffling."""
+
+    def __init__(
+        self,
+        metadata_rows: list[list[str]],
+        mel_dir: str,
+        cfg: Config,
+        test_size: int | None = None,
+    ):
+        self.cfg = cfg
+        self.mel_dir = mel_dir
+        self.symbols = default_symbols()
+        self.rows = list(metadata_rows)
+        tc = cfg.tacotron_train
+        if tc.clip_mels_length:
+            self.rows = [r for r in self.rows if int(r[3]) <= tc.max_mel_frames]
+        # held-out split (reference uses all data for train, feeder.py:45;
+        # we keep an explicit eval split available but default tiny)
+        rng = np.random.RandomState(tc.data_seed)
+        order = rng.permutation(len(self.rows))
+        n_test = test_size if test_size is not None else 0
+        self.test_indices = sorted(order[:n_test].tolist())
+        self.train_indices = sorted(order[n_test:].tolist())
+
+    def example(self, row_idx: int):
+        row = self.rows[row_idx]
+        ids = np.asarray(self.symbols.encode(row[5]), np.int32)
+        mel = np.load(os.path.join(self.mel_dir, row[1]))
+        return ids, mel.astype(np.float32)
+
+    def batches(
+        self,
+        epoch_seed: int,
+        batch_size: int | None = None,
+        indices: list[int] | None = None,
+        input_multiple: int = 16,
+        mel_multiple: int = 64,
+        drop_remainder: bool = True,
+    ):
+        """Yield TacotronBatch for one epoch (bucketed + batch-shuffled)."""
+        cfg = self.cfg
+        bs = batch_size or cfg.tacotron_train.batch_size
+        idx = list(indices if indices is not None else self.train_indices)
+        rng = np.random.RandomState(epoch_seed)
+        rng.shuffle(idx)
+        group = bs * cfg.tacotron_train.batches_per_group
+        for gstart in range(0, len(idx), group):
+            gidx = idx[gstart : gstart + group]
+            # bucket: sort group members by mel length
+            gidx.sort(key=lambda i: int(self.rows[i][3]))
+            batches = [gidx[i : i + bs] for i in range(0, len(gidx), bs)]
+            if drop_remainder:
+                batches = [b for b in batches if len(b) == bs]
+            rng.shuffle(batches)
+            for bidx in batches:
+                yield self._make_batch(bidx, input_multiple, mel_multiple)
+
+    def _make_batch(self, row_indices, input_multiple: int, mel_multiple: int):
+        cfg = self.cfg
+        r = cfg.tacotron.outputs_per_step
+        examples = [self.example(i) for i in row_indices]
+        max_in = _round_up(max(len(e[0]) for e in examples), input_multiple)
+        max_out = _round_up(
+            _round_up(max(e[1].shape[0] for e in examples), r), mel_multiple
+        )
+        B = len(examples)
+        M = examples[0][1].shape[1]
+        pad_value = -cfg.audio.max_abs_value
+        inputs = np.zeros((B, max_in), np.int32)
+        input_lengths = np.zeros((B,), np.int32)
+        mels = np.full((B, max_out, M), pad_value, np.float32)
+        stops = np.ones((B, max_out), np.float32)
+        target_lengths = np.zeros((B,), np.int32)
+        for i, (ids, mel) in enumerate(examples):
+            T = mel.shape[0]
+            inputs[i, : len(ids)] = ids
+            input_lengths[i] = len(ids)
+            mels[i, :T] = mel
+            stops[i, : T - 1] = 0.0
+            target_lengths[i] = T
+        return TacotronBatch(inputs, input_lengths, mels, stops, target_lengths, list(row_indices))
+
+    def sequential_batches(self, batch_size: int, indices=None, **kw):
+        """In-order batches over the corpus (GTA generation / eval)."""
+        idx = list(indices if indices is not None else range(len(self.rows)))
+        for s in range(0, len(idx), batch_size):
+            yield self._make_batch(
+                idx[s : s + batch_size],
+                kw.get("input_multiple", 16),
+                kw.get("mel_multiple", 64),
+            )

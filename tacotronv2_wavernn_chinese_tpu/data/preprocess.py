@@ -1,0 +1,129 @@
+"""Corpus preprocessing: Biaobei transcripts + wavs -> (audio, mel) features.
+
+Replaces the reference's ProcessPoolExecutor-per-utterance librosa pipeline
+(tacotron/datasets/preprocessor.py:11-121, tacotron_preprocess.py:10-113)
+with host-side wav conditioning + *batched on-device* mel extraction: wavs
+are grouped into length buckets, padded, and run through the jitted STFT/mel
+pipeline as one batch per bucket, so feature extraction rides the MXU.
+
+Multi-host scaling is an utterance-shard: pass ``shard_index``/``num_shards``
+and each host processes its own slice of the corpus (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..dsp.spectrogram import MelPipeline, num_frames
+from ..dsp.wav import load_wav, preemphasis, rescale, trim_silence
+from ..frontend import get_pyin
+
+
+@dataclass
+class Utterance:
+    index: str
+    wav_path: str
+    text: str
+    pyin: str
+
+
+def parse_biaobei(transcript_path: str, wav_dir: str) -> list[Utterance]:
+    """Parse the Biaobei ``000001-010000.txt`` transcript (text line +
+    pinyin line pairs; reference preprocessor.py:36-48).  The corpus pinyin
+    line is skipped — G2P re-derives phonemes so frontend and training stay
+    consistent."""
+    utts = []
+    with open(transcript_path, encoding="utf-8") as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        m = re.match(r"^(\d{6})\s+(.*)$", line)
+        if m:
+            index, text = m.group(1), m.group(2).strip()
+            pyin, norm_text = get_pyin(text)
+            utts.append(
+                Utterance(index, os.path.join(wav_dir, f"{index}.wav"), norm_text, pyin)
+            )
+            i += 2  # skip the corpus pinyin line
+        else:
+            i += 1
+    return utts
+
+
+def process_corpus(
+    cfg: Config,
+    transcript_path: str,
+    wav_dir: str,
+    out_dir: str,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    bucket_batch: int = 16,
+    log=print,
+) -> list[tuple]:
+    """Process a corpus shard; returns metadata rows
+    (audio.npy|mel.npy|time_steps|mel_frames|text|pyin)."""
+    a = cfg.audio
+    os.makedirs(out_dir, exist_ok=True)
+    pipe = MelPipeline(a)
+    utts = parse_biaobei(transcript_path, wav_dir)[shard_index::num_shards]
+
+    # host-side conditioning
+    conditioned = []
+    for u in utts:
+        try:
+            wav = load_wav(u.wav_path, a.sample_rate)
+        except FileNotFoundError:
+            log(f"missing wav {u.wav_path}, skipping")
+            continue
+        if a.trim_silence:
+            wav = trim_silence(wav, a.trim_top_db, a.trim_fft_size, a.trim_hop_size)
+        preem = preemphasis(wav, a.preemphasis, a.preemphasize).astype(np.float32)
+        if a.rescale:
+            wav = rescale(wav, a.rescaling_max)
+            preem = rescale(preem, a.rescaling_max).astype(np.float32)
+        conditioned.append((u, wav.astype(np.float32), preem))
+
+    # batched on-device mel extraction, bucketed by padded length
+    mel_fn = jax.jit(jax.vmap(pipe.melspectrogram))
+    rows = []
+    conditioned.sort(key=lambda t: len(t[1]))
+    for start in range(0, len(conditioned), bucket_batch):
+        chunk = conditioned[start : start + bucket_batch]
+        max_len = max(len(p) for _, _, p in chunk)
+        # pad to a whole number of hops (keeps frame count exact per item)
+        pad_len = -(-max_len // a.hop_size) * a.hop_size
+        batch = np.zeros((len(chunk), pad_len), np.float32)
+        for i, (_, _, preem) in enumerate(chunk):
+            batch[i, : len(preem)] = preem
+        mels = np.asarray(mel_fn(jnp.asarray(batch)))  # [b, F_pad, 80]
+        for (u, wav, preem), mel_padded in zip(chunk, mels):
+            mel_frames = num_frames(len(preem), a.n_fft, a.hop_size)
+            mel = mel_padded[:mel_frames]
+            out = np.pad(wav, (0, max(0, mel_frames * a.hop_size - len(wav))))
+            out = out[: mel_frames * a.hop_size]
+            audio_fn = f"audio-{u.index}.npy"
+            mel_fn_name = f"mel-{u.index}.npy"
+            np.save(os.path.join(out_dir, audio_fn), out, allow_pickle=False)
+            np.save(os.path.join(out_dir, mel_fn_name), mel, allow_pickle=False)
+            rows.append((audio_fn, mel_fn_name, len(out), mel_frames, u.text, u.pyin))
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+def write_metadata(rows: list[tuple], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write("|".join(str(x) for x in r) + "\n")
+
+
+def read_metadata(path: str) -> list[list[str]]:
+    with open(path, encoding="utf-8") as f:
+        return [line.strip().split("|") for line in f if line.strip()]

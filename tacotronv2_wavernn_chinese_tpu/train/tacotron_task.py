@@ -1,0 +1,118 @@
+"""Tacotron training: state, optimizer, jitted data-parallel train step.
+
+Optimization recipe per reference tacotron.py:255-313: Adam(0.9, 0.999,
+1e-6), exponential LR decay from ``decay_start`` clipped to
+[final_lr, initial_lr], global-norm-1.0 gradient clipping.  Fine-tune mode
+freezes embedding + encoder (reference tacotron.py:167-169).
+
+The step is one jit: forward (teacher-forced scan) + loss + grads + clip +
+Adam + BN-stat update.  Under a ``Mesh`` with batches sharded on ``data``,
+XLA inserts the gradient psum (GSPMD) — this is the multi-chip story.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import tacotron as T
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def lr_schedule(cfg: Config):
+    tc = cfg.tacotron_train
+
+    def lr(step):
+        t = jnp.maximum(0.0, step.astype(jnp.float32) - tc.decay_start)
+        lr = tc.initial_lr * tc.decay_rate ** (t / tc.decay_steps)
+        return jnp.clip(lr, tc.final_lr, tc.initial_lr)
+
+    return lr
+
+
+def _frozen_mask(params: Any) -> Any:
+    """True for embedding/encoder leaves (the ones fine-tune freezes)."""
+    frozen_top = {"embedding", "enc_convs", "enc_lstm_fw", "enc_lstm_bw"}
+
+    def mask_for(top_key, subtree):
+        frozen = top_key in frozen_top
+        return jax.tree_util.tree_map(lambda _: frozen, subtree)
+
+    return {k: mask_for(k, v) for k, v in params.items()}
+
+
+def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
+    tc = cfg.tacotron_train
+    opt = optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip_norm),
+        optax.adam(lr_schedule(cfg), b1=tc.adam_beta1, b2=tc.adam_beta2, eps=tc.adam_eps),
+    )
+    if tc.fine_tune:
+        opt = optax.chain(opt, optax.masked(optax.set_to_zero(), _frozen_mask(params)))
+    return opt
+
+
+def init_state(key, cfg: Config) -> TrainState:
+    params = T.init_tacotron(key, cfg.tacotron)
+    opt = make_optimizer(cfg, params)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
+
+
+def loss_fn(params, cfg: Config, batch, rng, train: bool = True):
+    out, new_params = T.forward_teacher_forced(
+        params,
+        cfg.tacotron,
+        batch["inputs"],
+        batch["input_lengths"],
+        batch["mel_targets"],
+        train,
+        rng,
+    )
+    tc = cfg.tacotron_train
+    loss, aux = T.tacotron_loss(
+        out,
+        batch["mel_targets"],
+        batch["stop_targets"],
+        batch["target_lengths"],
+        params,
+        cfg.tacotron,
+        reg_weight=tc.reg_weight,
+        mask_decoder=tc.mask_decoder,
+        stop_pos_weight=tc.stop_pos_weight,
+        linear_targets=batch.get("linear_targets"),
+        sample_rate=cfg.audio.sample_rate,
+    )
+    return loss, (aux, new_params, out)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(state: TrainState, batch, rng, cfg: Config):
+    """One optimization step; returns (new_state, metrics)."""
+    (loss, (aux, new_params, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, cfg, batch, rng, True
+    )
+    opt = make_optimizer(cfg, state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, new_params)
+    # apply updates to new_params so BN running stats advance too (their
+    # grads are zero, so Adam leaves them untouched)
+    params = optax.apply_updates(new_params, updates)
+    gnorm = optax.global_norm(grads)
+    metrics = dict(aux, grad_norm=gnorm, lr=lr_schedule(cfg)(state.step))
+    return TrainState(state.step + 1, params, opt_state), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eval_step(params, batch, rng, cfg: Config):
+    """Teacher-forced eval: loss + predicted mels/alignments for artifacts."""
+    loss, (aux, _, out) = loss_fn(params, cfg, batch, rng, train=False)
+    return aux, out

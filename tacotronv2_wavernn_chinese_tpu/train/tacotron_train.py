@@ -1,0 +1,172 @@
+"""Tacotron training loop + CLI.
+
+Mirrors the reference driver's operational guards (tacotron/train.py:80-238):
+loss-explosion/NaN abort, restore-or-init from the latest checkpoint, rolling
+time/loss windows, and per-checkpoint eval artifacts (Griffin-Lim wav +
+alignment/mel PNGs) — with the render running on-device instead of 60 numpy
+G&L iterations on the host.
+
+Usage:
+    python -m tacotronv2_wavernn_chinese_tpu.train.tacotron_train \
+        --metadata training_data/train.txt --mel-dir training_data \
+        --log-dir logs-tacotron [--steps N] [--override a.b=c,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..config import Config, default_config
+from ..data.loader import TacotronDataset
+from ..data.preprocess import read_metadata
+from ..dsp.griffin_lim import inv_mel_spectrogram
+from ..dsp.spectrogram import MelPipeline
+from ..dsp.wav import save_wav
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..utils import logging as infolog
+from ..utils.checkpoints import CheckpointManager
+from ..utils.plot import plot_alignment, plot_spectrogram
+from . import tacotron_task as task
+
+
+class LossExplosion(Exception):
+    pass
+
+
+def batch_to_device(batch, mesh):
+    arrays = {
+        "inputs": batch.inputs,
+        "input_lengths": batch.input_lengths,
+        "mel_targets": batch.mel_targets,
+        "stop_targets": batch.stop_targets,
+        "target_lengths": batch.target_lengths,
+    }
+    return shard_batch(mesh, arrays) if mesh is not None else arrays
+
+
+def run_training(
+    cfg: Config,
+    metadata_path: str,
+    mel_dir: str,
+    log_dir: str,
+    total_steps: int | None = None,
+    use_mesh: bool = True,
+    render_eval: bool = True,
+    log=infolog.log,
+) -> task.TrainState:
+    tc = cfg.tacotron_train
+    total_steps = total_steps or tc.train_steps
+    os.makedirs(log_dir, exist_ok=True)
+    ckpt_dir = os.path.join(log_dir, "taco_pretrained")
+    eval_dir = os.path.join(log_dir, "eval")
+    os.makedirs(eval_dir, exist_ok=True)
+
+    dataset = TacotronDataset(read_metadata(metadata_path), mel_dir, cfg)
+    mesh = make_mesh() if use_mesh else None
+    pipe = MelPipeline(cfg.audio)
+
+    state = task.init_state(jax.random.PRNGKey(tc.shuffle_seed), cfg)
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=tc.max_checkpoints_to_keep)
+    restored = mgr.restore(state)
+    if restored is not None:
+        state = restored
+        log(f"restored checkpoint at step {int(state.step)}")
+    if mesh is not None:
+        state = replicate_tree(mesh, state)
+
+    rng = jax.random.PRNGKey(tc.shuffle_seed + 1)
+    time_win, loss_win = infolog.ValueWindow(100), infolog.ValueWindow(100)
+    step = int(state.step)
+    epoch = 0
+    ctx = mesh if mesh is not None else _nullcontext()
+    with ctx:
+        while step < total_steps:
+            for batch in dataset.batches(epoch_seed=tc.data_seed + epoch):
+                if step >= total_steps:
+                    break
+                t0 = time.time()
+                step_rng = jax.random.fold_in(rng, step)
+                arrays = batch_to_device(batch, mesh)
+                state, metrics = task.train_step(state, arrays, step_rng, cfg)
+                loss = float(metrics["loss"])
+                step = int(state.step)
+                time_win.append(time.time() - t0)
+                loss_win.append(loss)
+                if np.isnan(loss) or loss > tc.loss_explosion_threshold:
+                    log(f"Loss exploded to {loss:.5f} at step {step}")
+                    raise LossExplosion("loss exploded, aborting")
+                if step % 10 == 0 or step < 10:
+                    log(
+                        f"Step {step:7d} [{time_win.average:.3f} sec/step, "
+                        f"loss={loss:.5f}, avg_loss={loss_win.average:.5f}, "
+                        f"lr={float(metrics['lr']):.2e}]"
+                    )
+                if step % tc.checkpoint_interval == 0:
+                    mgr.save(step, jax.device_get(state))
+                    log(f"saved checkpoint at step {step}")
+                    if render_eval:
+                        _render_eval(cfg, state.params, batch, arrays, pipe, eval_dir, step, log)
+            epoch += 1
+    mgr.save(step, jax.device_get(state))
+    mgr.close()
+    return state
+
+
+def _render_eval(cfg, params, batch, arrays, pipe, eval_dir, step, log):
+    """Griffin-Lim wav + alignment/mel PNGs from training sample 0
+    (reference tacotron/train.py:189-218)."""
+    try:
+        aux, out = task.eval_step(params, arrays, jax.random.PRNGKey(0), cfg)
+        T = int(batch.target_lengths[0])
+        mel = np.asarray(out.mel_outputs[0])[:T]
+        align = np.asarray(out.alignments[0])[:T]
+        wav = np.asarray(inv_mel_spectrogram(mel, pipe))
+        save_wav(wav, os.path.join(eval_dir, f"step-{step}-wave-from-mel.wav"), cfg.audio.sample_rate)
+        plot_alignment(align, os.path.join(eval_dir, f"step-{step}-align.png"),
+                       title=f"step {step}, eval loss {float(aux['loss']):.4f}")
+        plot_spectrogram(mel, os.path.join(eval_dir, f"step-{step}-mel.png"),
+                         target=np.asarray(batch.mel_targets[0])[:T])
+    except Exception as e:  # eval artifacts must never kill training
+        log(f"eval render failed: {e}")
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metadata", required=True)
+    ap.add_argument("--mel-dir", required=True)
+    ap.add_argument("--log-dir", default="logs-tacotron")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--override", default="", help="comma-separated a.b=c overrides")
+    ap.add_argument("--no-render", action="store_true")
+    args = ap.parse_args()
+
+    cfg = default_config()
+    if args.override:
+        cfg = cfg.override(args.override)
+    infolog.init(os.path.join(args.log_dir, "train.log"), "tacotron")
+    infolog.log(cfg.debug_string())
+    run_training(
+        cfg,
+        args.metadata,
+        args.mel_dir,
+        args.log_dir,
+        total_steps=args.steps,
+        render_eval=not args.no_render,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Data pipeline + training-step tests, incl. 8-device DP mesh."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from tacotronv2_wavernn_chinese_tpu.config import default_config
+from tacotronv2_wavernn_chinese_tpu.data.loader import TacotronDataset
+from tacotronv2_wavernn_chinese_tpu.data.preprocess import (
+    parse_biaobei,
+    process_corpus,
+    read_metadata,
+    write_metadata,
+)
+from tacotronv2_wavernn_chinese_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from tacotronv2_wavernn_chinese_tpu.train import tacotron_task as task
+
+CFG = default_config().override(
+    "tacotron_train.batch_size=2,tacotron_train.batches_per_group=2"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Tiny synthetic Biaobei-style corpus: 6 utterances of tone bursts."""
+    root = tmp_path_factory.mktemp("biaobei")
+    wav_dir = root / "Wave"
+    wav_dir.mkdir()
+    sr = CFG.audio.sample_rate
+    texts = ["你好。", "晚上好。", "谢谢你们。", "早上好。", "大家好。", "很高兴见到你。"]
+    lines = []
+    rng = np.random.RandomState(0)
+    for i, text in enumerate(texts, start=1):
+        idx = f"{i:06d}"
+        n = sr // 2 + i * 1000
+        t = np.arange(n) / sr
+        sig = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t) + 0.01 * rng.randn(n)
+        wavfile.write(str(wav_dir / f"{idx}.wav"), sr, (sig * 32767 * 0.6).astype(np.int16))
+        lines.append(f"{idx}\t{text}")
+        lines.append("\tfake pinyin line")
+    (root / "000001-010000.txt").write_text("\n".join(lines), encoding="utf-8")
+    return root
+
+
+@pytest.fixture(scope="module")
+def training_data(corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("training_data")
+    rows = process_corpus(
+        CFG, str(corpus / "000001-010000.txt"), str(corpus / "Wave"), str(out), bucket_batch=4
+    )
+    write_metadata(rows, str(out / "train.txt"))
+    return out
+
+
+def test_parse_biaobei(corpus):
+    utts = parse_biaobei(str(corpus / "000001-010000.txt"), str(corpus / "Wave"))
+    assert len(utts) == 6
+    assert utts[0].pyin == "n i3 h ao3 。"
+
+
+def test_process_corpus(training_data):
+    rows = read_metadata(str(training_data / "train.txt"))
+    assert len(rows) == 6
+    for r in rows:
+        audio = np.load(training_data / r[0])
+        mel = np.load(training_data / r[1])
+        assert int(r[2]) == len(audio)
+        assert int(r[3]) == mel.shape[0]
+        # time-resolution contract: audio length = frames * hop
+        assert len(audio) == mel.shape[0] * CFG.audio.hop_size
+        assert mel.shape[1] == 80
+        assert -4.0 - 1e-5 <= mel.min() and mel.max() <= 4.0 + 1e-5
+
+
+def test_loader_batches(training_data):
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), CFG)
+    batches = list(ds.batches(epoch_seed=0))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b.inputs.shape[0] == 2
+    assert b.inputs.shape[1] % 16 == 0
+    assert b.mel_targets.shape[1] % 64 == 0
+    assert b.mel_targets.shape[2] == 80
+    # stop targets: 0 before len-1, 1 from len-1 on
+    i = 0
+    L = int(b.target_lengths[i])
+    assert b.stop_targets[i, L - 2] == 0.0
+    assert b.stop_targets[i, L - 1] == 1.0
+    assert (b.stop_targets[i, L:] == 1.0).all()
+    # mel padding value
+    assert np.allclose(b.mel_targets[i, L:], -4.0)
+
+
+def test_train_step_decreases_loss(training_data):
+    cfg = CFG
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), cfg)
+    batch = next(ds.batches(epoch_seed=0))
+    arrays = {
+        "inputs": jnp.asarray(batch.inputs),
+        "input_lengths": jnp.asarray(batch.input_lengths),
+        "mel_targets": jnp.asarray(batch.mel_targets),
+        "stop_targets": jnp.asarray(batch.stop_targets),
+        "target_lengths": jnp.asarray(batch.target_lengths),
+    }
+    state = task.init_state(jax.random.PRNGKey(0), cfg)
+    losses = []
+    for i in range(8):
+        state, metrics = task.train_step(state, arrays, jax.random.PRNGKey(i), cfg)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_lr_schedule():
+    lr = task.lr_schedule(CFG)
+    assert float(lr(jnp.asarray(0))) == pytest.approx(1e-3)
+    assert float(lr(jnp.asarray(66000))) == pytest.approx(1e-3)
+    assert float(lr(jnp.asarray(86000))) == pytest.approx(5e-4)
+    assert float(lr(jnp.asarray(10_000_000))) == pytest.approx(1e-5)
+
+
+def test_finetune_freezes_encoder(training_data):
+    cfg = CFG.override("tacotron_train.fine_tune=true")
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), cfg)
+    batch = next(ds.batches(epoch_seed=0))
+    arrays = {
+        "inputs": jnp.asarray(batch.inputs),
+        "input_lengths": jnp.asarray(batch.input_lengths),
+        "mel_targets": jnp.asarray(batch.mel_targets),
+        "stop_targets": jnp.asarray(batch.stop_targets),
+        "target_lengths": jnp.asarray(batch.target_lengths),
+    }
+    state = task.init_state(jax.random.PRNGKey(0), cfg)
+    emb0 = np.asarray(state.params["embedding"])
+    enc0 = np.asarray(state.params["enc_lstm_fw"]["w"])
+    pre0 = np.asarray(state.params["prenet"]["layers"][0]["w"])
+    state, _ = task.train_step(state, arrays, jax.random.PRNGKey(0), cfg)
+    np.testing.assert_array_equal(np.asarray(state.params["embedding"]), emb0)
+    np.testing.assert_array_equal(np.asarray(state.params["enc_lstm_fw"]["w"]), enc0)
+    assert not np.allclose(np.asarray(state.params["prenet"]["layers"][0]["w"]), pre0)
+
+
+def test_data_parallel_mesh_step(training_data):
+    """Full train step over an 8-device CPU mesh with batch sharded on data."""
+    assert jax.device_count() == 8, jax.devices()
+    cfg = CFG.override("tacotron_train.batch_size=8")
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), cfg)
+    # 6 utterances -> build an 8-batch by repetition
+    idx = (ds.train_indices * 2)[:8]
+    batch = ds._make_batch(idx, 16, 64)
+    mesh = make_mesh()
+    arrays = shard_batch(
+        mesh,
+        {
+            "inputs": batch.inputs,
+            "input_lengths": batch.input_lengths,
+            "mel_targets": batch.mel_targets,
+            "stop_targets": batch.stop_targets,
+            "target_lengths": batch.target_lengths,
+        },
+    )
+    state = task.init_state(jax.random.PRNGKey(0), cfg)
+    state = replicate_tree(mesh, state)
+    with mesh:
+        state, metrics = task.train_step(state, arrays, jax.random.PRNGKey(0), cfg)
+        loss_dp = float(metrics["loss"])
+    assert np.isfinite(loss_dp)
+
+    # single-device replica of the same step must agree closely
+    state1 = task.init_state(jax.random.PRNGKey(0), cfg)
+    arrays1 = {k: jnp.asarray(getattr(batch, k2)) for k, k2 in
+               [("inputs", "inputs"), ("input_lengths", "input_lengths"),
+                ("mel_targets", "mel_targets"), ("stop_targets", "stop_targets"),
+                ("target_lengths", "target_lengths")]}
+    _, metrics1 = task.train_step(state1, arrays1, jax.random.PRNGKey(0), cfg)
+    assert abs(loss_dp - float(metrics1["loss"])) < 1e-3
+
+
+def test_checkpoint_roundtrip(training_data, tmp_path):
+    from tacotronv2_wavernn_chinese_tpu.utils.checkpoints import CheckpointManager
+
+    state = task.init_state(jax.random.PRNGKey(0), CFG)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
+    mgr.save(5, jax.device_get(state))
+    restored = mgr.restore(jax.device_get(state))
+    assert restored is not None
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["embedding"]), np.asarray(state.params["embedding"])
+    )
+    assert mgr.latest_step() == 5
+    mgr.close()
+
+
+def test_params_npz_roundtrip(tmp_path):
+    from tacotronv2_wavernn_chinese_tpu.utils.checkpoints import (
+        load_params_npz,
+        save_params_npz,
+    )
+
+    params = task.init_state(jax.random.PRNGKey(0), CFG).params
+    path = str(tmp_path / "params.npz")
+    save_params_npz(path, jax.device_get(params))
+    loaded = load_params_npz(path)
+    orig_flat = jax.tree_util.tree_leaves(params)
+    load_flat = jax.tree_util.tree_leaves(loaded)
+    assert len(orig_flat) == len(load_flat)
+    for a, b in zip(orig_flat, load_flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
