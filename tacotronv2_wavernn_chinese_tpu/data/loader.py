@@ -130,3 +130,81 @@ class TacotronDataset:
                 kw.get("input_multiple", 16),
                 kw.get("mel_multiple", 64),
             )
+
+
+@dataclass
+class VocoderBatch:
+    x: np.ndarray  # [B, seq_len] float32 previous samples in [-1, 1]
+    y: np.ndarray  # [B, seq_len] int32 target mu-law labels
+    mels: np.ndarray  # [B, seq_frames + 2*pad, M] float32 unit-range mels
+
+
+class VocoderDataset:
+    """WaveRNN training windows (reference wavernn/utils/dataset.py:18-133).
+
+    Metadata rows: ``wav.npy|gt_mel.npy|pred_mel.npy|text``.  Training reads
+    the Tacotron-predicted (GTA) mel — column 2 (dataset.py:70) — and a
+    random ``seq_len``-sample window per example per step.  Utterances
+    shorter than one window are filtered; a fixed-seed test set is held out
+    (dataset.py:81-85).
+    """
+
+    def __init__(self, metadata_rows: list[list[str]], data_dir: str, cfg: Config, use_gta: bool = True):
+        self.cfg = cfg
+        self.dir = data_dir
+        self.use_gta = use_gta
+        wc = cfg.wavernn_train
+        hop = cfg.audio.hop_size
+        self.seq_len = wc.seq_len_hops * hop
+        self.seq_frames = wc.seq_len_hops
+        self.pad = cfg.wavernn.pad
+        min_frames = self.seq_frames + 2 * self.pad + 2
+        self.rows = [r for r in metadata_rows if self._frames_of(r) >= min_frames]
+        rng = np.random.RandomState(wc.seed)
+        order = rng.permutation(len(self.rows))
+        n_test = min(wc.test_samples, max(0, len(self.rows) - 1))
+        self.test_indices = sorted(order[:n_test].tolist())
+        self.train_indices = sorted(order[n_test:].tolist())
+
+    def _frames_of(self, row) -> int:
+        mel = np.load(os.path.join(self.dir, row[2 if self.use_gta else 1]), mmap_mode="r")
+        return mel.shape[0]
+
+    def example(self, row_idx: int):
+        """Returns (labels [T_samples] int, mel [T_frames, M] float)."""
+        row = self.rows[row_idx]
+        labels = np.load(os.path.join(self.dir, row[0]))
+        mel = np.load(os.path.join(self.dir, row[2 if self.use_gta else 1]))
+        return labels, mel.astype(np.float32)
+
+    def collate(self, row_indices, rng: np.random.RandomState) -> VocoderBatch:
+        """Random-window crop per example (reference collate_vocoder,
+        dataset.py:107-133): pick a mel window of ``seq_frames + 2*pad``
+        starting at least ``pad`` frames in, take the matching
+        ``seq_len + 1`` samples, and split into (x, y)."""
+        hop = self.cfg.audio.hop_size
+        xs, ys, ms = [], [], []
+        for i in row_indices:
+            labels, mel = self.example(i)
+            max_start = mel.shape[0] - (self.seq_frames + 2 * self.pad)
+            start = rng.randint(self.pad, max(self.pad, max_start) + 1)
+            m = mel[start - self.pad : start + self.seq_frames + self.pad]
+            sig_start = (start - self.pad) * hop + self.pad * hop
+            sig = labels[sig_start : sig_start + self.seq_len + 1]
+            if len(sig) < self.seq_len + 1:
+                sig = np.pad(sig, (0, self.seq_len + 1 - len(sig)))
+            xs.append(sig[:-1])
+            ys.append(sig[1:])
+            ms.append(m)
+        bits = self.cfg.audio.bits
+        x = np.stack(xs).astype(np.float32)
+        x = 2.0 * x / (2 ** bits - 1.0) - 1.0  # label_2_float (dsp.py:8-9)
+        return VocoderBatch(x, np.stack(ys).astype(np.int32), np.stack(ms))
+
+    def batches(self, epoch_seed: int, batch_size: int | None = None, indices=None):
+        bs = batch_size or self.cfg.wavernn_train.batch_size
+        idx = list(indices if indices is not None else self.train_indices)
+        rng = np.random.RandomState(epoch_seed)
+        rng.shuffle(idx)
+        for s in range(0, len(idx) - bs + 1, bs):
+            yield self.collate(idx[s : s + bs], rng)
