@@ -1,1 +1,4 @@
+from .gta import generate_gta, merge_shards
+from .synthesizer import Synthesizer
 
+__all__ = ["Synthesizer", "generate_gta", "merge_shards"]

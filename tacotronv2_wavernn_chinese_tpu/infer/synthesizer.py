@@ -1,0 +1,172 @@
+"""End-to-end synthesis: text -> pinyin -> mel -> wav.
+
+Replaces the reference's Synthesizer (tacotron_synthesize.py:38-127,
+tacotron/synthesizer.py:16-143): one jitted autoregressive decode with
+static-shape buffers, host-side trim at the stop token, and either
+Griffin-Lim (on device) or the WaveRNN vocoder for waveform reconstruction.
+
+Inputs are padded to bucketed lengths so repeated calls hit a small, finite
+set of compiled shapes instead of recompiling per sentence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..dsp import spectrogram as S
+from ..dsp.griffin_lim import inv_mel_spectrogram
+from ..dsp import wav as wavio
+from ..frontend import default_symbols, get_pyin
+from ..models import tacotron as T
+from ..models import wavernn as W
+from ..utils.checkpoints import CheckpointManager
+from ..utils.plot import plot_alignment, plot_spectrogram
+
+
+def _round_up(x: int, m: int) -> int:
+    return x if x % m == 0 else x + m - x % m
+
+
+class Synthesizer:
+    """Loads acoustic (and optionally vocoder) params and synthesizes speech.
+
+    ``vocoder_params=None`` -> Griffin-Lim reconstruction (the reference's
+    default path, tacotron_synthesize.py:110-112).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        params: Any,
+        vocoder_params: Any | None = None,
+        max_iters: int | None = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.vocoder_params = vocoder_params
+        self.symbols = default_symbols()
+        self.pipe = S.MelPipeline(cfg.audio)
+        self.max_iters = max_iters or cfg.tacotron.max_iters
+        mcfg, mi = cfg.tacotron, self.max_iters
+        self._infer = jax.jit(
+            lambda params, inputs, lens, rng: T.forward_inference(
+                params, mcfg, inputs, lens, rng, mi
+            )
+        )
+
+    @classmethod
+    def from_checkpoints(
+        cls,
+        cfg: Config,
+        tacotron_ckpt_dir: str,
+        wavernn_ckpt_dir: str | None = None,
+        **kw,
+    ) -> "Synthesizer":
+        """Restore latest params from step-keyed checkpoint dirs."""
+        from ..train import tacotron_task as TT
+
+        state = CheckpointManager(tacotron_ckpt_dir).restore(
+            TT.init_state(jax.random.PRNGKey(0), cfg)
+        )
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {tacotron_ckpt_dir}")
+        voc_params = None
+        if wavernn_ckpt_dir is not None:
+            from ..train import wavernn_task as WT
+
+            wstate = CheckpointManager(wavernn_ckpt_dir).restore(
+                WT.init_state(jax.random.PRNGKey(0), cfg)
+            )
+            if wstate is None:
+                raise FileNotFoundError(f"no checkpoint under {wavernn_ckpt_dir}")
+            voc_params = wstate.params
+        return cls(cfg, state.params, voc_params, **kw)
+
+    # -- core ---------------------------------------------------------------
+
+    def mel_from_ids(self, ids_batch: Sequence[Sequence[int]], seed: int = 0):
+        """Padded-batch inference -> list of (mel [T,80], alignment [T,T_in],
+        stop frame count) trimmed per example (reference
+        tacotron_synthesize.py:104-108: trim at the first stop flag)."""
+        B = len(ids_batch)
+        lens = [len(x) for x in ids_batch]
+        T_in = _round_up(max(lens), 16)
+        inputs = np.zeros((B, T_in), np.int32)
+        for i, ids in enumerate(ids_batch):
+            inputs[i, : len(ids)] = ids
+        out = self._infer(
+            self.params,
+            jnp.asarray(inputs),
+            jnp.asarray(np.asarray(lens, np.int32)),
+            jax.random.PRNGKey(seed),
+        )
+        mels, aligns, stops = [], [], []
+        stop_len = np.asarray(out.stop_lengths)
+        for i in range(B):
+            n = int(stop_len[i])
+            mels.append(np.asarray(out.mel_outputs[i])[:n])
+            aligns.append(np.asarray(out.alignments[i])[: n // self.cfg.tacotron.outputs_per_step, : lens[i]])
+            stops.append(n)
+        return mels, aligns, stops
+
+    def text_to_mel(self, text: str, seed: int = 0):
+        """text -> (mel [-4,4], alignment, pyin string)."""
+        pyin, _ = get_pyin(text)
+        ids = self.symbols.encode(pyin)
+        mels, aligns, _ = self.mel_from_ids([ids], seed=seed)
+        return mels[0], aligns[0], pyin
+
+    def mel_to_wav(self, mel: np.ndarray, seed: int = 0) -> np.ndarray:
+        """mel [-4,4] -> waveform via WaveRNN if loaded, else Griffin-Lim."""
+        if self.vocoder_params is not None:
+            unit = np.asarray(S.mel_to_unit(jnp.asarray(mel), self.cfg.audio))
+            return W.generate(
+                self.vocoder_params,
+                self.cfg.wavernn,
+                self.cfg.wavernn_gen,
+                unit,
+                jax.random.PRNGKey(seed),
+                bits=self.cfg.audio.bits,
+                apply_mu_law=self.cfg.audio.mu_law,
+            )
+        return np.asarray(inv_mel_spectrogram(jnp.asarray(mel), self.pipe))
+
+    def synthesize(self, text: str, out_dir: str | None = None, seed: int = 0):
+        """Full pipeline; optionally writes artifacts like the reference CLI
+        (tacotron_synthesize.py:186-197): wav, mel .npy rescaled to [0,1],
+        mel + alignment PNGs, filenames keyed by md5(text)."""
+        mel, align, pyin = self.text_to_mel(text, seed=seed)
+        wav = self.mel_to_wav(mel, seed=seed)
+        result = {"wav": wav, "mel": mel, "alignment": align, "pyin": pyin}
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            name = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
+            wavio.save_wav(wav, os.path.join(out_dir, f"wav-{name}.wav"), self.cfg.audio.sample_rate)
+            unit_mel = np.asarray(S.mel_to_unit(jnp.asarray(mel), self.cfg.audio))
+            np.save(os.path.join(out_dir, f"mel-{name}.npy"), unit_mel)
+            plot_alignment(align, os.path.join(out_dir, f"align-{name}.png"), title=text)
+            plot_spectrogram(mel, os.path.join(out_dir, f"mel-{name}.png"))
+            result["paths"] = {
+                "wav": os.path.join(out_dir, f"wav-{name}.wav"),
+                "mel": os.path.join(out_dir, f"mel-{name}.npy"),
+            }
+        return result
+
+    def run_live(self):  # pragma: no cover - interactive
+        """stdin REPL (reference synthesize.py run_live)."""
+        import sys
+
+        print("> ", end="", flush=True)
+        for line in sys.stdin:
+            text = line.strip()
+            if not text:
+                continue
+            r = self.synthesize(text, out_dir="tacotron_inference_output")
+            print(f"wrote {r['paths']['wav']}\n> ", end="", flush=True)
