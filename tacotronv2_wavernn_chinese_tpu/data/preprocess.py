@@ -127,3 +127,47 @@ def write_metadata(rows: list[tuple], path: str) -> None:
 def read_metadata(path: str) -> list[list[str]]:
     with open(path, encoding="utf-8") as f:
         return [line.strip().split("|") for line in f if line.strip()]
+
+
+def main() -> None:
+    """CLI (replaces reference tacotron_preprocess.py):
+
+    python -m tacotronv2_wavernn_chinese_tpu.data.preprocess \
+        --transcript dataset/BZNSYP/ProsodyLabeling/000001-010000.txt \
+        --wav-dir dataset/BZNSYP/Wave --out-dir training_data
+    """
+    import argparse
+
+    from ..config import default_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcript", required=True)
+    ap.add_argument("--wav-dir", required=True)
+    ap.add_argument("--out-dir", default="training_data")
+    ap.add_argument("--shard-index", type=int, default=0)
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--bucket-batch", type=int, default=16)
+    ap.add_argument("--override", default="")
+    args = ap.parse_args()
+
+    cfg = default_config()
+    if args.override:
+        cfg = cfg.override(args.override)
+    rows = process_corpus(
+        cfg,
+        args.transcript,
+        args.wav_dir,
+        args.out_dir,
+        shard_index=args.shard_index,
+        num_shards=args.num_shards,
+        bucket_batch=args.bucket_batch,
+    )
+    suffix = f".{args.shard_index}" if args.num_shards > 1 else ""
+    meta = os.path.join(args.out_dir, f"train.txt{suffix}")
+    write_metadata(rows, meta)
+    hours = sum(int(r[2]) for r in rows) / cfg.audio.sample_rate / 3600
+    print(f"wrote {len(rows)} utterances ({hours:.2f} h audio) -> {meta}")
+
+
+if __name__ == "__main__":
+    main()

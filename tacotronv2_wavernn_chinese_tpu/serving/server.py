@@ -1,0 +1,203 @@
+"""HTTP TTS serving.
+
+Replaces the reference's three-process serving stack (Flask app -> gRPC ->
+TF Serving Docker, website/app/views.py:25-105 + tacotron_model_export.py)
+with one process: the jitted inference function *is* the model server on
+TPU, so the HTTP handler calls it directly.  The wire contract matches the
+reference's ``POST /generate_tts``: JSON in ``{"text": ...}``, JSON out with
+base64 WAV audio and a base64 PNG alignment plot.
+
+Endpoints:
+  GET  /            demo page (reference website/app/templates/index.html)
+  GET  /healthz     liveness + model info
+  POST /generate_tts  {"text": str, "seed"?: int} ->
+      {"status": 0, "pyin": str, "duration_s": float,
+       "wav_b64": str (WAV container), "align_b64": str (PNG)}
+
+Usage:
+    python -m tacotronv2_wavernn_chinese_tpu.serving.server \
+        --ckpt-dir logs-tacotron/taco_pretrained \
+        [--wavernn-ckpt-dir logs-wavernn/checkpoints] [--port 8500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+import wave as wave_mod
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..config import Config, default_config
+from ..utils import logging as infolog
+
+_DEMO_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Chinese TTS (TPU)</title></head>
+<body style="font-family:sans-serif;max-width:640px;margin:2em auto">
+<h2>Chinese TTS &mdash; Tacotron-2 + WaveRNN on TPU</h2>
+<textarea id="t" rows="3" style="width:100%">你好，欢迎使用语音合成系统。</textarea>
+<br><button onclick="go()">Synthesize</button> <span id="s"></span>
+<div id="out"></div>
+<script>
+async function go(){
+  const s=document.getElementById('s'); s.textContent='...';
+  const r=await fetch('/generate_tts',{method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({text:document.getElementById('t').value})});
+  const j=await r.json();
+  if(j.status!==0){s.textContent='error: '+j.error;return;}
+  s.textContent=j.duration_s.toFixed(2)+'s audio ('+j.pyin+')';
+  document.getElementById('out').innerHTML=
+    '<audio controls src="data:audio/wav;base64,'+j.wav_b64+'"></audio>'+
+    '<br><img style="max-width:100%" src="data:image/png;base64,'+j.align_b64+'">';
+}
+</script></body></html>"""
+
+
+def wav_to_base64(wav: np.ndarray, sample_rate: int) -> str:
+    """float waveform [-1,1] -> base64 of an int16 WAV container
+    (reference website/app/audio.py:16 save_wav-to-buffer + views.py:88)."""
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def alignment_to_base64_png(alignment: np.ndarray) -> str:
+    """Alignment heatmap -> base64 PNG (reference website/app/plot.py:1-27)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    im = ax.imshow(alignment.T, aspect="auto", origin="lower", interpolation="none")
+    fig.colorbar(im, ax=ax)
+    ax.set_xlabel("decoder step")
+    ax.set_ylabel("encoder step")
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png")
+    plt.close(fig)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class TTSService:
+    """Holds the synthesizer; serializes device access across HTTP threads."""
+
+    def __init__(self, cfg: Config, synthesizer):
+        self.cfg = cfg
+        self.synth = synthesizer
+        self._lock = threading.Lock()
+        self.n_requests = 0
+
+    def generate(self, text: str, seed: int = 0) -> dict:
+        t0 = time.time()
+        with self._lock:
+            mel, align, pyin = self.synth.text_to_mel(text, seed=seed)
+            wav = self.synth.mel_to_wav(mel, seed=seed)
+            self.n_requests += 1
+        return {
+            "status": 0,
+            "pyin": pyin,
+            "duration_s": float(len(wav) / self.cfg.audio.sample_rate),
+            "synthesis_s": round(time.time() - t0, 3),
+            "wav_b64": wav_to_base64(wav, self.cfg.audio.sample_rate),
+            "align_b64": alignment_to_base64_png(align),
+        }
+
+
+def make_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route to infolog, not stderr
+            infolog.log(f"http: {fmt % args}")
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                body = _DEMO_PAGE.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/healthz":
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "requests": service.n_requests,
+                        "vocoder": "wavernn" if service.synth.vocoder_params is not None else "griffin_lim",
+                    },
+                )
+            else:
+                self._json(404, {"status": 1, "error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate_tts":
+                self._json(404, {"status": 1, "error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = (req.get("text") or "").strip()
+                if not text:
+                    self._json(400, {"status": 1, "error": "empty text"})
+                    return
+                if len(text) > 500:
+                    self._json(400, {"status": 1, "error": "text too long (max 500 chars)"})
+                    return
+                self._json(200, service.generate(text, seed=int(req.get("seed", 0))))
+            except json.JSONDecodeError:
+                self._json(400, {"status": 1, "error": "invalid JSON body"})
+            except Exception as e:  # noqa: BLE001 - surface synthesis errors to client
+                self._json(500, {"status": 1, "error": str(e)})
+
+    return Handler
+
+
+def serve(cfg: Config, synthesizer, host: str = "0.0.0.0", port: int = 8500):
+    service = TTSService(cfg, synthesizer)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    infolog.log(f"TTS server on http://{host}:{port} (POST /generate_tts)")
+    return httpd
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt-dir", required=True)
+    ap.add_argument("--wavernn-ckpt-dir", default=None)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument("--override", default="")
+    args = ap.parse_args()
+
+    from ..infer.synthesizer import Synthesizer
+
+    cfg = default_config()
+    if args.override:
+        cfg = cfg.override(args.override)
+    synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, args.wavernn_ckpt_dir)
+    # warm the jit cache so the first request doesn't pay compile time
+    infolog.log("warming up...")
+    synth.synthesize("你好。")
+    serve(cfg, synth, args.host, args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

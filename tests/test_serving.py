@@ -1,0 +1,113 @@
+"""Serving tests: real HTTP round-trips against the TTS server."""
+
+import base64
+import dataclasses
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import jax
+import numpy as np
+import pytest
+
+from tacotronv2_wavernn_chinese_tpu.config import default_config
+from tacotronv2_wavernn_chinese_tpu.infer.synthesizer import Synthesizer
+from tacotronv2_wavernn_chinese_tpu.models import tacotron as T
+from tacotronv2_wavernn_chinese_tpu.serving import server as srv
+
+
+def tiny_cfg():
+    cfg = default_config()
+    return dataclasses.replace(
+        cfg,
+        tacotron=dataclasses.replace(
+            cfg.tacotron,
+            embedding_dim=32,
+            enc_conv_channels=32,
+            enc_conv_layers=2,
+            encoder_lstm_units=32,
+            attention_dim=16,
+            attention_filters=8,
+            attention_kernel=7,
+            prenet_layers=(32, 32),
+            decoder_lstm_units=32,
+            postnet_channels=32,
+            postnet_layers=2,
+            max_iters=20,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    cfg = tiny_cfg()
+    params = T.init_tacotron(jax.random.PRNGKey(0), cfg.tacotron)
+    synth = Synthesizer(cfg, params, max_iters=20)
+    httpd = srv.serve(cfg, synth, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload, raw=None):
+    req = urllib.request.Request(
+        url,
+        data=raw if raw is not None else json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_generate_tts_roundtrip(http_server):
+    code, resp = _post(http_server + "/generate_tts", {"text": "你好。"})
+    assert code == 200
+    assert resp["status"] == 0
+    assert resp["pyin"].startswith("n i3")
+    assert resp["duration_s"] > 0
+    # decode the WAV container
+    pcm = base64.b64decode(resp["wav_b64"])
+    with wave.open(io.BytesIO(pcm)) as w:
+        assert w.getframerate() == 22050
+        assert w.getnchannels() == 1
+        assert w.getnframes() > 0
+    # alignment PNG
+    png = base64.b64decode(resp["align_b64"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_healthz_and_demo_page(http_server):
+    with urllib.request.urlopen(http_server + "/healthz") as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["vocoder"] == "griffin_lim"
+    with urllib.request.urlopen(http_server + "/") as r:
+        page = r.read().decode()
+    assert "generate_tts" in page
+
+
+def test_error_paths(http_server):
+    code, resp = _post(http_server + "/generate_tts", {"text": ""})
+    assert code == 400 and resp["status"] == 1
+    code, resp = _post(http_server + "/generate_tts", {}, raw=b"not json{")
+    assert code == 400 and "JSON" in resp["error"]
+    code, resp = _post(http_server + "/generate_tts", {"text": "好" * 501})
+    assert code == 400 and "long" in resp["error"]
+    code, resp = _post(http_server + "/nope", {"text": "hi"})
+    assert code == 404
+
+
+def test_wav_b64_helper_roundtrip():
+    wav = np.sin(np.linspace(0, 20, 1000)).astype(np.float32) * 0.5
+    b64 = srv.wav_to_base64(wav, 22050)
+    with wave.open(io.BytesIO(base64.b64decode(b64))) as w:
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    np.testing.assert_allclose(pcm / 32767.0, wav, atol=1e-4)
