@@ -9,16 +9,21 @@ Prints ONE JSON line:
 shipped driver is CPU-pinned, wavernn_train.py:46 / wavernn_gen.py:93, and
 prints an unrecorded kHz rate, fatchord_version.py:267-271).
 
-Method: full-size RAW 10-bit WaveRNN (rnn/fc 512, upsample (5,5,11)),
-one long synthetic utterance folded into overlapping segments
-(target 11000, overlap 550 — reference wavernn_hparams.py:55-57) that form
-the batch axis of the autoregressive sample loop.  Steady-state timing
-excludes compilation (first call) and host transfer of the mel.
+Method: full-size RAW 10-bit WaveRNN (rnn/fc 512, upsample (5,5,11)), one
+long utterance folded into overlapping segments (target 11000, overlap 550 —
+reference wavernn_hparams.py:55-57) that form the batch axis of the fused
+Pallas sample-loop kernel (ops/wavernn_kernel.py: weights pinned in VMEM,
+on-chip Gumbel-argmax sampling).  Timing notes: on the axon tunnel backend
+``block_until_ready`` does not reliably block and large host transfers ride
+a slow stdio relay, so each timed call is synchronized by reducing the
+output to a scalar on device and transferring 4 bytes.  Fresh random seeds
+per call prevent any result caching.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,14 +37,21 @@ from tacotronv2_wavernn_chinese_tpu.models import wavernn as W
 BASELINE_X_REALTIME = 50.0
 
 
+def _sync_scalar(x) -> float:
+    """Force execution; transfer only 4 bytes through the tunnel."""
+    return float(np.asarray(jnp.sum(x)))
+
+
 def main() -> None:
     cfg = default_config()
     hop = cfg.wavernn.total_upsample
     sr = cfg.audio.sample_rate
+    on_tpu = jax.default_backend() not in ("cpu",)
 
-    # ~37.5 s of audio -> 3000 mel frames -> ~71 folds of 40+2*2 frames
+    # ~37.5 s of audio -> 3000 mel frames -> 72 folds of 44 frames
     T_mel = 3000
-    rng = np.random.RandomState(0)
+    base = int.from_bytes(os.urandom(4), "little")
+    rng = np.random.RandomState(base % 99991)
     mel = rng.rand(T_mel, cfg.audio.num_mels).astype(np.float32)
 
     params = W.init_wavernn(
@@ -51,31 +63,34 @@ def main() -> None:
     folds, n_folds = W.fold_with_overlap(mel, t_frames, ov_frames)
     folds = np.stack([W.pad_mel_for_generation(f, cfg.wavernn.pad) for f in folds])
     folds_dev = jnp.asarray(folds)
-    print(f"folds: {folds.shape} on {jax.devices()[0]}", file=sys.stderr)
 
-    gen = jax.jit(
-        lambda p, m, k: W.generate_scan(p, cfg.wavernn, m, k, cfg.audio.bits),
-    )
+    if on_tpu:
+        from tacotronv2_wavernn_chinese_tpu.ops import wavernn_kernel as K
 
-    # compile + warmup
-    key = jax.random.PRNGKey(1)
+        gen = lambda k: K.generate_pallas(params, cfg.wavernn, folds_dev, k, cfg.audio.bits)
+        path = "pallas"
+    else:  # CPU fallback so the bench is runnable anywhere
+        gen = lambda k: W.generate_scan(params, cfg.wavernn, folds_dev, k, cfg.audio.bits)
+        path = "scan"
+    print(f"folds: {folds.shape} on {jax.devices()[0]} via {path}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(base)
     t0 = time.time()
-    jax.block_until_ready(gen(params, folds_dev, key))
+    _sync_scalar(gen(key))
     print(f"compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # steady state
-    reps = 3
-    t0 = time.time()
-    for i in range(reps):
-        out = gen(params, folds_dev, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    wall = (time.time() - t0) / reps
+    walls = []
+    for i in range(3):
+        t0 = time.time()
+        _sync_scalar(gen(jax.random.fold_in(key, i + 1)))
+        walls.append(time.time() - t0)
+    wall = min(walls)
 
     audio_seconds = n_folds * (cfg.wavernn_gen.target + 2 * cfg.wavernn_gen.overlap) / sr
     value = audio_seconds / wall
     print(
-        f"{audio_seconds:.1f}s audio in {wall:.2f}s wall "
-        f"({value:.1f}x realtime, {n_folds} folds)",
+        f"{audio_seconds:.1f}s audio in {wall:.3f}s wall "
+        f"({value:.1f}x realtime, {n_folds} folds, runs={['%.3f' % w for w in walls]})",
         file=sys.stderr,
     )
     print(

@@ -273,6 +273,7 @@ def generate_scan(
     rng: jax.Array,
     bits: int = 10,
     apply_mu_law: bool = True,
+    greedy: bool = False,
 ) -> jax.Array:
     """Serial sample loop under ``lax.scan`` -> [B, T] float wav in [-1, 1].
 
@@ -290,7 +291,11 @@ def generate_scan(
     def step(carry, inp):
         h1, h2, x = carry
         i_cond_t, a2_t, a3_t, a4_t, key_t = inp
-        g_t = jax.random.gumbel(key_t, (B, n_classes), jnp.float32)
+        g_t = (
+            jnp.zeros((B, n_classes), jnp.float32)
+            if greedy
+            else jax.random.gumbel(key_t, (B, n_classes), jnp.float32)
+        )
         xt = x[:, None] * w_x[None, :] + i_cond_t
         gi1 = xt @ params["gru1"]["wi"] + params["gru1"]["bi"]
         h1 = _gru_cell(params["gru1"], gi1, h1)
@@ -410,7 +415,14 @@ def generate(
 
     T_mel = mel.shape[0]
     wave_len = T_mel * hop
-    gen = generate_fn if generate_fn is not None else generate_scan
+    gen = generate_fn
+    if gen is None:
+        gen = generate_scan
+        if gen_cfg.use_pallas and jax.default_backend() not in ("cpu",):
+            from ..ops import wavernn_kernel as K
+
+            if K.supported(model_cfg, mel.shape[1]):
+                gen = K.generate_pallas
 
     if gen_cfg.batched:
         # Fold on mel frames so each fold carries its own conditioning window.
