@@ -131,7 +131,15 @@ class TacotronTrainConfig:
     adam_beta2: float = 0.999
     adam_eps: float = 1e-6
     grad_clip_norm: float = 1.0
+    # teacher forcing: constant ratio, or cosine-decayed scheduled sampling
+    # (reference helpers.py:153-186 _teacher_forcing_ratio_decay)
+    teacher_forcing_mode: str = "constant"  # constant | scheduled
     teacher_forcing_ratio: float = 1.0
+    teacher_forcing_init_ratio: float = 1.0
+    teacher_forcing_final_ratio: float = 0.0
+    teacher_forcing_start_decay: int = 10000
+    teacher_forcing_decay_steps: int = 280000
+    teacher_forcing_decay_alpha: float = 0.0
     mask_decoder: bool = False
     stop_pos_weight: float = 20.0  # cross_entropy_pos_weight
     fine_tune: bool = False  # freeze embedding+encoder (reference tacotron.py:167-169)

@@ -200,10 +200,15 @@ def decode_teacher_forced(
     mel_targets: jax.Array,  # [B, T_out, M], T_out divisible by r
     train: bool,
     rng: jax.Array,
+    teacher_forcing_ratio: jax.Array | float = 1.0,
 ):
-    """Always-teacher-forced decode (reference helpers.py:136-142: the
-    next input is unconditionally the ground-truth frame, which is what makes
-    GTA generation work).  Returns (frames [B,T_out,M], stops [B,T_out],
+    """Teacher-forced decode (reference helpers.py:136-142: with ratio 1.0
+    the next input is unconditionally the ground-truth frame, which is what
+    makes GTA generation work).  ``teacher_forcing_ratio`` < 1 enables
+    scheduled sampling: per step/example, feed the ground truth with
+    probability ratio, else the model's own previous frame (the reference
+    implements this at helpers.py:125-134 but comments it out at :136-142;
+    here it is a real knob).  Returns (frames [B,T_out,M], stops [B,T_out],
     alignments [B,T_dec,T_in])."""
     B, T_out, M = mel_targets.shape
     r = cfg.outputs_per_step
@@ -217,15 +222,23 @@ def decode_teacher_forced(
     dec_inputs = jnp.concatenate([go, strided[:, :-1, :]], axis=1)  # [B, T_dec, M]
 
     step_rngs = jax.random.split(rng, T_dec)
+    ratio = jnp.asarray(teacher_forcing_ratio, jnp.float32)
 
     def body(carry, inp):
-        prev_frame, k = inp
-        frames, stop, align, carry = decoder_step(
-            params, cfg, prev_frame, carry, keys, memory, mem_mask, train, k
+        dec_carry, prev_pred = carry
+        gt_frame, k = inp
+        k_step, k_tf = jax.random.split(k)
+        use_gt = jax.random.uniform(k_tf, (B, 1)) < ratio
+        prev_frame = jnp.where(use_gt, gt_frame, prev_pred)
+        frames, stop, align, dec_carry = decoder_step(
+            params, cfg, prev_frame, dec_carry, keys, memory, mem_mask, train, k_step
         )
-        return carry, (frames, stop, align)
+        return (dec_carry, frames[:, -M:]), (frames, stop, align)
 
-    carry0 = init_decoder_carry(cfg, B, memory.shape[1], memory.shape[2])
+    carry0 = (
+        init_decoder_carry(cfg, B, memory.shape[1], memory.shape[2]),
+        jnp.zeros((B, M), mel_targets.dtype),
+    )
     _, (frames, stops, aligns) = jax.lax.scan(
         body, carry0, (jnp.swapaxes(dec_inputs, 0, 1), step_rngs)
     )
@@ -356,13 +369,15 @@ def forward_teacher_forced(
     mel_targets: jax.Array,
     train: bool,
     rng: jax.Array,
+    teacher_forcing_ratio: jax.Array | float = 1.0,
 ):
     """Full teacher-forced forward; returns (TacotronOutput, new_params)."""
     k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
     memory, new_enc_convs = encode(params, cfg, inputs, input_lengths, train, k_enc)
     mem_mask = (jnp.arange(inputs.shape[1])[None, :] < input_lengths[:, None]).astype(jnp.float32)
     frames, stops, aligns = decode_teacher_forced(
-        params, cfg, memory, mem_mask, mel_targets, train, k_dec
+        params, cfg, memory, mem_mask, mel_targets, train, k_dec,
+        teacher_forcing_ratio=teacher_forcing_ratio,
     )
     frames = _clip_mel(frames, cfg)
     mel_out, new_postnet = apply_postnet(params, cfg, frames, train, k_post)

@@ -287,15 +287,11 @@ def generate_scan(
 
     w_x = params["I"]["w"][0, :]  # sample column of I
     step_keys = jax.random.split(rng, T)
+    mol = cfg.mode == "MOL"
 
     def step(carry, inp):
         h1, h2, x = carry
         i_cond_t, a2_t, a3_t, a4_t, key_t = inp
-        g_t = (
-            jnp.zeros((B, n_classes), jnp.float32)
-            if greedy
-            else jax.random.gumbel(key_t, (B, n_classes), jnp.float32)
-        )
         xt = x[:, None] * w_x[None, :] + i_cond_t
         gi1 = xt @ params["gru1"]["wi"] + params["gru1"]["bi"]
         h1 = _gru_cell(params["gru1"], gi1, h1)
@@ -306,12 +302,25 @@ def generate_scan(
         y = jax.nn.relu(L.dense(params["fc1"], jnp.concatenate([xt, a3_t], axis=-1)))
         y = jax.nn.relu(L.dense(params["fc2"], jnp.concatenate([y, a4_t], axis=-1)))
         logits = L.dense(params["fc3"], y)
-        sample = jnp.argmax(jax.nn.log_softmax(logits) + g_t, axis=-1)
-        x = 2.0 * sample.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+        if mol:
+            from ..ops.distribution import sample_from_discretized_mix_logistic
+
+            x = sample_from_discretized_mix_logistic(logits[:, None, :], key_t)[:, 0]
+            sample = x  # float samples in MOL mode
+        else:
+            g_t = (
+                jnp.zeros((B, n_classes), jnp.float32)
+                if greedy
+                else jax.random.gumbel(key_t, (B, n_classes), jnp.float32)
+            )
+            sample = jnp.argmax(jax.nn.log_softmax(logits) + g_t, axis=-1)
+            x = 2.0 * sample.astype(jnp.float32) / (n_classes - 1.0) - 1.0
         return (h1, h2, x), sample
 
-    h0 = jnp.zeros((B, cfg.rnn_dims))
-    x0 = jnp.zeros((B,))
+    # derive the zero carry from the conditioning so it picks up the same
+    # sharding/varying-axes type under shard_map (i_cond is rnn-wide)
+    h0 = pre.i_cond[:, 0, :] * 0.0
+    x0 = pre.i_cond[:, 0, 0] * 0.0
     xs = (
         jnp.swapaxes(pre.i_cond, 0, 1),
         jnp.swapaxes(pre.a2, 0, 1),
@@ -321,6 +330,8 @@ def generate_scan(
     )
     _, samples = jax.lax.scan(step, (h0, h0, x0), xs)
     samples = jnp.swapaxes(samples, 0, 1)  # [B, T]
+    if mol:
+        return samples  # already float wav in [-1, 1]
     if apply_mu_law:
         return mu_law_expand(samples, bits)
     return 2.0 * samples.astype(jnp.float32) / (n_classes - 1.0) - 1.0
@@ -449,8 +460,17 @@ def generate(
 # ---------------------------------------------------------------------------
 
 
-def wavernn_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
-    """Cross-entropy over mu-law classes (reference wavernn_train.py:82)."""
+def wavernn_loss(logits: jax.Array, targets: jax.Array, mode: str = "RAW", bits: int = 10) -> jax.Array:
+    """RAW: cross-entropy over mu-law classes (reference wavernn_train.py:82).
+    MOL: discretized mixture-of-logistics NLL on float targets in [-1, 1]
+    (reference wavernn_train.py:78-80, distribution.py:15-69)."""
+    if mode == "MOL":
+        from ..ops.distribution import discretized_mix_logistic_loss
+
+        y = targets.astype(jnp.float32)
+        if jnp.issubdtype(targets.dtype, jnp.integer):
+            y = 2.0 * y / (2 ** bits - 1.0) - 1.0
+        return discretized_mix_logistic_loss(logits, y)
     logp = jax.nn.log_softmax(logits)
     return -jnp.mean(jnp.take_along_axis(logp, targets[..., None], axis=-1))
 

@@ -40,6 +40,26 @@ def lr_schedule(cfg: Config):
     return lr
 
 
+def teacher_forcing_schedule(cfg: Config, step):
+    """Teacher-forcing ratio at ``step``: constant, or cosine decay from
+    init to final ratio (reference helpers.py:153-186)."""
+    tc = cfg.tacotron_train
+    if tc.teacher_forcing_mode == "constant":
+        return jnp.asarray(tc.teacher_forcing_ratio, jnp.float32)
+    t = jnp.clip(
+        step.astype(jnp.float32) - tc.teacher_forcing_start_decay,
+        0.0,
+        float(tc.teacher_forcing_decay_steps),
+    )
+    frac = t / tc.teacher_forcing_decay_steps
+    cosine = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+    decayed = (1.0 - tc.teacher_forcing_decay_alpha) * cosine + tc.teacher_forcing_decay_alpha
+    ratio = tc.teacher_forcing_final_ratio + (
+        tc.teacher_forcing_init_ratio - tc.teacher_forcing_final_ratio
+    ) * decayed
+    return ratio
+
+
 def _frozen_mask(params: Any) -> Any:
     """True for embedding/encoder leaves (the ones fine-tune freezes)."""
     frozen_top = {"embedding", "enc_convs", "enc_lstm_fw", "enc_lstm_bw"}
@@ -68,7 +88,7 @@ def init_state(key, cfg: Config) -> TrainState:
     return TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
 
 
-def loss_fn(params, cfg: Config, batch, rng, train: bool = True):
+def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing_ratio=1.0):
     out, new_params = T.forward_teacher_forced(
         params,
         cfg.tacotron,
@@ -77,6 +97,7 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True):
         batch["mel_targets"],
         train,
         rng,
+        teacher_forcing_ratio=teacher_forcing_ratio,
     )
     tc = cfg.tacotron_train
     loss, aux = T.tacotron_loss(
@@ -98,8 +119,9 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True):
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def train_step(state: TrainState, batch, rng, cfg: Config):
     """One optimization step; returns (new_state, metrics)."""
+    tf_ratio = teacher_forcing_schedule(cfg, state.step)
     (loss, (aux, new_params, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, cfg, batch, rng, True
+        state.params, cfg, batch, rng, True, tf_ratio
     )
     opt = make_optimizer(cfg, state.params)
     updates, opt_state = opt.update(grads, state.opt_state, new_params)

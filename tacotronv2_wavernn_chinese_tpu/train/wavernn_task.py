@@ -46,7 +46,7 @@ def init_state(key, cfg: Config) -> WaveRNNTrainState:
 
 def loss_fn(params, cfg: Config, batch, train: bool = True):
     logits, new_params = W.forward(params, cfg.wavernn, batch["x"], batch["mels"], train)
-    loss = W.wavernn_loss(logits, batch["y"])
+    loss = W.wavernn_loss(logits, batch["y"], mode=cfg.wavernn.mode, bits=cfg.audio.bits)
     return loss, (new_params, logits)
 
 
