@@ -30,6 +30,7 @@ from ..dsp.wav import save_wav
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ..utils import logging as infolog
 from ..utils.checkpoints import CheckpointManager
+from ..utils.metrics import MetricsWriter, Profiler
 from ..utils.plot import plot_alignment, plot_spectrogram
 from . import tacotron_task as task
 
@@ -57,6 +58,7 @@ def run_training(
     total_steps: int | None = None,
     use_mesh: bool = True,
     render_eval: bool = True,
+    profile_dir: str | None = None,
     log=infolog.log,
 ) -> task.TrainState:
     tc = cfg.tacotron_train
@@ -65,6 +67,8 @@ def run_training(
     ckpt_dir = os.path.join(log_dir, "taco_pretrained")
     eval_dir = os.path.join(log_dir, "eval")
     os.makedirs(eval_dir, exist_ok=True)
+    metrics_writer = MetricsWriter(log_dir)
+    profiler = Profiler(profile_dir)
 
     dataset = TacotronDataset(read_metadata(metadata_path), mel_dir, cfg)
     mesh = make_mesh() if use_mesh else None
@@ -97,9 +101,15 @@ def run_training(
                 step = int(state.step)
                 time_win.append(time.time() - t0)
                 loss_win.append(loss)
+                profiler.step(step)
                 if np.isnan(loss) or loss > tc.loss_explosion_threshold:
                     log(f"Loss exploded to {loss:.5f} at step {step}")
                     raise LossExplosion("loss exploded, aborting")
+                if step % tc.summary_interval == 0 or step < 5:
+                    metrics_writer.write(
+                        step,
+                        {k: v for k, v in metrics.items()},
+                    )
                 if step % 10 == 0 or step < 10:
                     log(
                         f"Step {step:7d} [{time_win.average:.3f} sec/step, "
@@ -114,6 +124,8 @@ def run_training(
             epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()
+    metrics_writer.close()
+    profiler.close()
     return state
 
 
@@ -151,6 +163,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--override", default="", help="comma-separated a.b=c overrides")
     ap.add_argument("--no-render", action="store_true")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of steps 10-15 here")
     args = ap.parse_args()
 
     cfg = default_config()
@@ -165,6 +179,7 @@ def main() -> None:
         args.log_dir,
         total_steps=args.steps,
         render_eval=not args.no_render,
+        profile_dir=args.profile_dir,
     )
 
 

@@ -31,6 +31,7 @@ from ..models import wavernn as W
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ..utils import logging as infolog
 from ..utils.checkpoints import CheckpointManager
+from ..utils.metrics import MetricsWriter
 from . import wavernn_task as task
 
 
@@ -49,6 +50,7 @@ def run_training(
     ckpt_dir = os.path.join(log_dir, "checkpoints")
     out_dir = os.path.join(log_dir, "model_outputs")
     os.makedirs(out_dir, exist_ok=True)
+    metrics_writer = MetricsWriter(log_dir)
 
     dataset = VocoderDataset(read_metadata(metadata_path), data_dir, cfg)
     log(f"vocoder dataset: {len(dataset.train_indices)} train / "
@@ -90,6 +92,8 @@ def run_training(
                     f"Step {step:7d} [{time_win.average:.3f} sec/step, "
                     f"loss={loss:.5f}, avg={loss_win.average:.5f}]"
                 )
+            if step % 100 == 0 or step < 5:
+                metrics_writer.write(step, {"loss": loss, "grad_norm": gnorm})
             if step % wc.checkpoint_every == 0:
                 mgr.save(step, jax.device_get(state))
                 log(f"saved checkpoint at step {step}")
@@ -98,6 +102,7 @@ def run_training(
         epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()
+    metrics_writer.close()
     return state
 
 

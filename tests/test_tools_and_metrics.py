@@ -1,0 +1,103 @@
+"""Checkpoint tooling + metrics writer tests."""
+
+import json
+
+import jax
+import numpy as np
+
+from tacotronv2_wavernn_chinese_tpu.config import default_config
+from tacotronv2_wavernn_chinese_tpu.models import tacotron as T
+from tacotronv2_wavernn_chinese_tpu.utils.metrics import MetricsWriter, read_scalars
+from tools.import_tf_checkpoint import (
+    _get_path,
+    import_checkpoint,
+    tf_name_map,
+)
+
+
+def test_tf_name_map_covers_all_trainable_leaves():
+    """Every mapped path resolves, and together the mapped paths cover the
+    whole Tacotron param tree (nothing silently left at random init)."""
+    cfg = default_config()
+    params = T.init_tacotron(jax.random.PRNGKey(0), cfg.tacotron)
+    mapping = tf_name_map(cfg)
+    covered = set()
+    for name, (path, _) in mapping.items():
+        arr = _get_path(params, path)
+        assert hasattr(arr, "shape"), name
+        covered.add(path)
+
+    all_paths = set()
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                walk(v, path + (i,))
+        else:
+            all_paths.add(path)
+
+    walk(params, ())
+    missing = all_paths - covered
+    assert not missing, f"param leaves not covered by TF import map: {missing}"
+
+
+def test_import_checkpoint_roundtrip_and_shape_guard():
+    cfg = default_config()
+    params = T.init_tacotron(jax.random.PRNGKey(0), cfg.tacotron)
+    mapping = tf_name_map(cfg)
+    tf_vars = {n: np.asarray(_get_path(params, p)) for n, (p, _) in mapping.items()}
+    p2, unmatched, missing = import_checkpoint(cfg, tf_vars)
+    assert not unmatched and not missing
+    np.testing.assert_array_equal(
+        np.asarray(p2["embedding"]), np.asarray(params["embedding"])
+    )
+
+    bad = dict(tf_vars)
+    name = next(iter(mapping))
+    bad[name] = np.zeros((3, 3), np.float32)
+    try:
+        import_checkpoint(cfg, bad)
+        raise AssertionError("expected shape mismatch error")
+    except ValueError as e:
+        assert "shape mismatch" in str(e)
+
+
+def test_import_reports_missing_and_unmatched():
+    cfg = default_config()
+    params = T.init_tacotron(jax.random.PRNGKey(0), cfg.tacotron)
+    mapping = tf_name_map(cfg)
+    tf_vars = {n: np.asarray(_get_path(params, p)) for n, (p, _) in mapping.items()}
+    dropped = next(iter(mapping))
+    del tf_vars[dropped]
+    tf_vars["Tacotron_model/extraneous_var"] = np.zeros(3, np.float32)
+    _, unmatched, missing = import_checkpoint(cfg, tf_vars)
+    assert missing == [dropped]
+    assert unmatched == ["Tacotron_model/extraneous_var"]
+
+
+def test_metrics_writer_roundtrip(tmp_path):
+    w = MetricsWriter(str(tmp_path))
+    w.write(1, {"loss": 1.5, "lr": 1e-3})
+    w.write(2, {"loss": np.float32(1.2)})
+    w.close()
+    rows = read_scalars(str(tmp_path / "scalars.jsonl"))
+    assert [r["step"] for r in rows] == [1, 2]
+    assert rows[0]["loss"] == 1.5
+    assert isinstance(rows[1]["loss"], float)
+    # appending across writer instances keeps history
+    w2 = MetricsWriter(str(tmp_path))
+    w2.write(3, {"loss": 1.0})
+    w2.close()
+    assert len(read_scalars(str(tmp_path / "scalars.jsonl"))) == 3
+
+
+def test_metrics_rows_are_json_lines(tmp_path):
+    w = MetricsWriter(str(tmp_path))
+    w.write(1, {"note": "text-ok"})
+    w.close()
+    line = open(tmp_path / "scalars.jsonl").readline()
+    row = json.loads(line)
+    assert row["note"] == "text-ok" and "wall" in row
