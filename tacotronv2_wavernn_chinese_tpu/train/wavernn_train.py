@@ -43,6 +43,7 @@ def run_training(
     total_steps: int | None = None,
     use_mesh: bool = True,
     gen_at_checkpoint: bool = True,
+    use_native_loader: bool = False,
     log=infolog.log,
 ) -> task.WaveRNNTrainState:
     wc = cfg.wavernn_train
@@ -66,11 +67,29 @@ def run_training(
     if mesh is not None:
         state = replicate_tree(mesh, state)
 
+    native = None
+    if use_native_loader:
+        from ..data.native_loader import NativeVocoderLoader
+
+        if NativeVocoderLoader.available():
+            native = NativeVocoderLoader(
+                dataset.rows, data_dir, cfg, seed=wc.seed,
+                indices=dataset.train_indices,
+            )
+            log(f"native C++ loader active ({native.num_utts} utterances)")
+        else:
+            log("native loader requested but unavailable; using Python loader")
+
+    def batch_stream(epoch):
+        if native is not None:
+            return iter(native)
+        return dataset.batches(epoch_seed=wc.seed + epoch)
+
     time_win, loss_win = infolog.ValueWindow(100), infolog.ValueWindow(100)
     step = int(state.step)
     epoch = 0
     while step < total_steps:
-        for batch in dataset.batches(epoch_seed=wc.seed + epoch):
+        for batch in batch_stream(epoch):
             if step >= total_steps:
                 break
             t0 = time.time()
@@ -103,6 +122,8 @@ def run_training(
     mgr.save(step, jax.device_get(state))
     mgr.close()
     metrics_writer.close()
+    if native is not None:
+        native.close()
     return state
 
 
@@ -140,6 +161,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--override", default="")
     ap.add_argument("--no-gen", action="store_true")
+    ap.add_argument("--native-loader", action="store_true",
+                    help="use the C++ prefetch loader (native/vocoder_loader.cc)")
     args = ap.parse_args()
 
     cfg = default_config()
@@ -153,6 +176,7 @@ def main() -> None:
         args.log_dir,
         total_steps=args.steps,
         gen_at_checkpoint=not args.no_gen,
+        use_native_loader=args.native_loader,
     )
 
 
