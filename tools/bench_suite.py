@@ -1,0 +1,168 @@
+"""Full benchmark suite (beyond the single-line driver bench.py).
+
+Measures on the current backend and prints one JSON object per metric:
+  - mel extraction throughput (batched on-device STFT/mel)
+  - Tacotron teacher-forced train step time
+  - Tacotron AR decoder steps/s (inference)
+  - WaveRNN train step time
+  - WaveRNN generation x-realtime (scan and, on TPU, Pallas)
+
+Sync protocol for the axon tunnel: reduce outputs to a device scalar and
+transfer 4 bytes; fresh seeds per timed call (see bench.py notes).
+
+Usage: python -m tools.bench_suite [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tacotronv2_wavernn_chinese_tpu.config import default_config
+from tacotronv2_wavernn_chinese_tpu.dsp.spectrogram import MelPipeline
+from tacotronv2_wavernn_chinese_tpu.models import tacotron as T
+from tacotronv2_wavernn_chinese_tpu.models import wavernn as W
+
+
+def sync(x) -> float:
+    return float(np.asarray(jnp.sum(x)))
+
+
+def timed(f, key, reps=3):
+    sync(f(key))  # compile + warmup
+    ts = []
+    for i in range(reps):
+        t0 = time.time()
+        sync(f(jax.random.fold_in(key, i + 1)))
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    cfg = default_config()
+    sr, hop = cfg.audio.sample_rate, cfg.audio.hop_size
+    base = int.from_bytes(os.urandom(4), "little")
+    key = jax.random.PRNGKey(base)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    results = []
+
+    def emit(metric, value, unit, **extra):
+        row = {"metric": metric, "value": round(value, 3), "unit": unit, **extra}
+        results.append(row)
+        print(json.dumps(row))
+
+    # ---- mel extraction ---------------------------------------------------
+    pipe = MelPipeline(cfg.audio)
+    B_mel, secs = (8, 2) if args.quick else (32, 5)
+    wavs = jnp.asarray(
+        np.random.RandomState(base % 997).uniform(-1, 1, (B_mel, secs * sr)).astype(np.float32)
+    )
+    mel_fn = jax.jit(jax.vmap(pipe.melspectrogram))
+    noise = lambda k: wavs + 1e-6 * jax.random.normal(k, wavs.shape)
+    dt = timed(lambda k: mel_fn(noise(k)), key)
+    emit("mel_extraction_audio_seconds_per_second", B_mel * secs / dt, "audio_s/s")
+
+    # ---- tacotron train step ---------------------------------------------
+    from tacotronv2_wavernn_chinese_tpu.train import tacotron_task as TT
+
+    B, T_in, T_out = (8, 32, 128) if args.quick else (32, 64, 512)
+    state = TT.init_state(jax.random.PRNGKey(0), cfg)
+    batch = {
+        "inputs": jnp.ones((B, T_in), jnp.int32),
+        "input_lengths": jnp.full((B,), T_in, jnp.int32),
+        "mel_targets": jnp.zeros((B, T_out, 80), jnp.float32),
+        "stop_targets": jnp.ones((B, T_out), jnp.float32),
+        "target_lengths": jnp.full((B,), T_out, jnp.int32),
+    }
+
+    # train_step donates the state; thread it through across timed calls
+    state_box = [state]
+
+    def train_once(k):
+        s2, metrics = TT.train_step(state_box[0], batch, k, cfg)
+        state_box[0] = s2
+        return metrics["loss"]
+
+    dt = timed(train_once, key)
+    emit("tacotron_train_step_seconds", dt, "s/step", batch_size=B, frames=T_out)
+
+    # ---- tacotron AR decode ----------------------------------------------
+    params = state_box[0].params
+    iters = 100 if args.quick else 400
+    inputs = jnp.ones((1, T_in), jnp.int32)
+    lens = jnp.full((1,), T_in, jnp.int32)
+    dec = jax.jit(
+        lambda k: T.forward_inference(params, cfg.tacotron, inputs, lens, k, iters).mel_outputs
+    )
+    dt = timed(dec, key)
+    emit("tacotron_decoder_steps_per_second", iters / dt, "steps/s", batch_size=1)
+    emit(
+        "tacotron_inference_x_realtime",
+        (iters / dt) * hop / sr,
+        "x_realtime",
+        batch_size=1,
+    )
+
+    # ---- wavernn train step ----------------------------------------------
+    from tacotronv2_wavernn_chinese_tpu.train import wavernn_task as WT
+
+    wstate = WT.init_state(jax.random.PRNGKey(0), cfg)
+    sf = cfg.wavernn_train.seq_len_hops
+    Bw = 8 if args.quick else cfg.wavernn_train.batch_size
+    wbatch = {
+        "x": jnp.zeros((Bw, sf * hop), jnp.float32),
+        "y": jnp.zeros((Bw, sf * hop), jnp.int32),
+        "mels": jnp.zeros((Bw, sf + 2 * cfg.wavernn.pad, 80), jnp.float32),
+    }
+
+    wstate_box = [wstate]
+
+    def wtrain_once(k):
+        s2, metrics = WT.train_step(wstate_box[0], wbatch, cfg)
+        wstate_box[0] = s2
+        return metrics["loss"]
+
+    dt = timed(wtrain_once, key)
+    emit("wavernn_train_step_seconds", dt, "s/step", batch_size=Bw, seq_len=sf * hop)
+
+    # ---- wavernn generation ----------------------------------------------
+    T_mel = 500 if args.quick else 3000
+    mel = np.random.RandomState(base % 991).rand(T_mel, 80).astype(np.float32)
+    folds, n_folds = W.fold_with_overlap(
+        mel, cfg.wavernn_gen.target // hop, cfg.wavernn_gen.overlap // hop
+    )
+    folds = jnp.asarray(
+        np.stack([W.pad_mel_for_generation(f, cfg.wavernn.pad) for f in folds])
+    )
+    audio_s = n_folds * (cfg.wavernn_gen.target + 2 * cfg.wavernn_gen.overlap) / sr
+    wp = wstate_box[0].params
+
+    dt = timed(lambda k: W.generate_scan(wp, cfg.wavernn, folds, k, cfg.audio.bits), key)
+    emit("wavernn_gen_scan_x_realtime", audio_s / dt, "x_realtime", folds=n_folds)
+
+    if on_tpu:
+        from tacotronv2_wavernn_chinese_tpu.ops import wavernn_kernel as K
+
+        dt = timed(
+            lambda k: K.generate_pallas(wp, cfg.wavernn, folds, k, cfg.audio.bits), key
+        )
+        emit("wavernn_gen_pallas_x_realtime", audio_s / dt, "x_realtime", folds=n_folds)
+
+    out = "bench_suite_results.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"# wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
