@@ -1,0 +1,351 @@
+"""Pallas TPU kernel: fused autoregressive Tacotron-2 decoder step.
+
+Status: correct (bit-level parity with the XLA path at f32 — see
+tests/test_tacotron_decoder_kernel.py) but only marginally faster in
+practice (~80 us/step vs ~90 us/step for the XLA ``lax.while_loop`` on
+v5e).  Measurement shows the decoder step is dominated by the *serial
+latency* of its ~15-op dependency chain (prenet -> LSTM1 -> LSTM2 ->
+31-tap conv -> energy -> softmax -> recursion -> context -> projections)
+on small [B<=16] operands, not by HBM weight re-reads — unlike WaveRNN,
+where pinning weights in VMEM bought 18x.  The XLA path therefore remains
+the default; this kernel is kept as a correct, tested base for future
+latency work (bf16 chain, conv-as-matmul, multi-step software pipelining).
+
+This kernel runs the entire per-frame chain on-chip:
+
+  prenet (always-on dropout via pltpu PRNG) -> 2x LSTM (eval-mode zoneout
+  EMA) -> forward+location-sensitive attention (conv31 on cumulated
+  alignments, masked softmax, forward recursion, transition prob mu) ->
+  frame/stop projections
+
+with all weights (bf16) and all recurrent state (f32: LSTM c/h, context,
+alpha, cumulated alignments, mu, previous frame) resident in VMEM for the
+whole decode.  The grid iterates over frame chunks (TPU grids are
+sequential); outputs are time-major.  Early stop: when every example's stop
+sigmoid passes 0.5 the remaining steps skip compute.
+
+Scope (gated by ``supported()``): the ACTIVE reference configuration —
+``attention_mode='forward'`` (reference tacotron/models/attention.py:66-231),
+outputs_per_step r=1, no smoothing, no anti-repeat (those fall back to the
+XLA path).  Semantics mirror ``models.attention._forward_step`` and
+``models.tacotron.decoder_step`` exactly; parity is tested in interpret mode
+with ``dropout_rate=0``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TacotronModelConfig
+
+Params = Dict[str, Any]
+
+
+def supported(cfg: TacotronModelConfig) -> bool:
+    return (
+        cfg.attention_mode == "forward"
+        and cfg.outputs_per_step == 1
+        and not cfg.smoothing
+        and not cfg.anti_repeat
+        and not cfg.synthesis_constraint
+    )
+
+
+def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
+    """Split concat-matmul kernels by input segment so the kernel never
+    concatenates (each segment is its own MXU matmul)."""
+    pre_d = cfg.prenet_layers[-1]
+    V = params["attention"]["memory_layer"]["w"].shape[0]  # encoder output dim
+    u = cfg.decoder_lstm_units
+    M = 80
+
+    l1 = params["dec_lstm1"]["w"]  # [(pre+V) + u, 4u]
+    l2 = params["dec_lstm2"]["w"]  # [u + u, 4u]
+    att = params["attention"]
+    w = {
+        "pre_w1": params["prenet"]["layers"][0]["w"],
+        "pre_b1": params["prenet"]["layers"][0]["b"][None, :],
+        "pre_w2": params["prenet"]["layers"][1]["w"],
+        "pre_b2": params["prenet"]["layers"][1]["b"][None, :],
+        "l1_pre": l1[:pre_d],
+        "l1_ctx": l1[pre_d : pre_d + V],
+        "l1_h": l1[pre_d + V :],
+        "l1_b": params["dec_lstm1"]["b"][None, :],
+        "l2_x": l2[:u],
+        "l2_h": l2[u:],
+        "l2_b": params["dec_lstm2"]["b"][None, :],
+        "att_wq": att["query_layer"]["w"],
+        "att_conv": att["location_conv"]["w"][:, 0, :],  # [31, F]
+        "att_conv_b": att["location_conv"]["b"][None, :],
+        "att_wl": att["location_layer"]["w"],
+        "att_v": att["v"][None, :],
+        "att_b": att["b"][None, :],
+        "mu_c": att["mu_layer"]["w"][:V],
+        "mu_q": att["mu_layer"]["w"][V:],
+        "mu_b": att["mu_layer"]["b"][None, :],
+        "fp_h": params["frame_projection"]["w"][:u],
+        "fp_c": params["frame_projection"]["w"][u:],
+        "fp_b": params["frame_projection"]["b"][None, :],
+        "sp_h": params["stop_projection"]["w"][:u],
+        "sp_c": params["stop_projection"]["w"][u:],
+        "sp_b": params["stop_projection"]["b"][None, :],
+    }
+    assert w["fp_b"].shape[-1] == M
+    return {k: v.astype(dtype) for k, v in w.items()}
+
+
+WEIGHT_ORDER = [
+    "pre_w1", "pre_b1", "pre_w2", "pre_b2",
+    "l1_pre", "l1_ctx", "l1_h", "l1_b", "l2_x", "l2_h", "l2_b",
+    "att_wq", "att_conv", "att_conv_b", "att_wl", "att_v", "att_b",
+    "mu_c", "mu_q", "mu_b",
+    "fp_h", "fp_c", "fp_b", "sp_h", "sp_c", "sp_b",
+]
+
+
+def _lstm_eval(gates, c, h, zoneout):
+    """TF-order (i, j, f, o) LSTM + eval-mode zoneout EMA
+    (models/layers.py lstm_step + zoneout eval branch)."""
+    u = c.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :u])
+    j = jnp.tanh(gates[:, u : 2 * u])
+    f = jax.nn.sigmoid(gates[:, 2 * u : 3 * u] + 1.0)
+    o = jax.nn.sigmoid(gates[:, 3 * u :])
+    new_c = f * c + i * j
+    new_h = o * jnp.tanh(new_c)
+    keep = 1.0 - zoneout
+    return keep * new_c + zoneout * c, keep * new_h + zoneout * h
+
+
+def _kernel(
+    seed_ref,  # scalar prefetch [1] int32
+    keys_ref,  # [B, T_in, A]
+    values_ref,  # [B, T_in, V]
+    mask_ref,  # [B, T_in] f32 1/0
+    *rest,
+    chunk: int,
+    cfg_static: tuple,
+):
+    (zoneout, drop_rate, B, T_in, A, V, u, M, F, taps) = cfg_static
+    weights = rest[: len(WEIGHT_ORDER)]
+    (frames_out, stops_out, aligns_out) = rest[len(WEIGHT_ORDER) : len(WEIGHT_ORDER) + 3]
+    (c1S, h1S, c2S, h2S, ctxS, alphaS, cumS, muS, prevS, doneS, cumpadS) = rest[len(WEIGHT_ORDER) + 3 :]
+    W = dict(zip(WEIGHT_ORDER, weights))
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in (c1S, h1S, c2S, h2S, ctxS, muS, prevS, doneS):
+            ref[:] = jnp.zeros_like(ref)
+        # alpha/cumulated start one-hot at position 0 (attention.py:112-117)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
+        one_hot = jnp.where(col == 0, 1.0, 0.0).astype(f32)
+        alphaS[:] = one_hot
+        cumS[:] = one_hot
+        muS[:, 0] = jnp.full((B,), 0.5, f32)
+        cumpadS[:] = jnp.zeros_like(cumpadS)
+
+    if drop_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    def dropout(x):
+        if drop_rate <= 0.0:
+            return x
+        bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+        # keep with prob (1-rate): uniform bits < (1-rate) * 2^32
+        thresh = jnp.uint32(int((1.0 - drop_rate) * 4294967295.0))
+        keep = bits < thresh
+        return jnp.where(keep, x / (1.0 - drop_rate), 0.0)
+
+    def mm(x, wname):
+        wref = W[wname]
+        return jnp.dot(x.astype(wref.dtype), wref[:], preferred_element_type=f32)
+
+    def body(s, _):
+        done = doneS[:, 0:1]  # [B,1] 1.0 = finished
+        all_done = jnp.min(doneS[:, 0]) > 0.5
+
+        @pl.when(jnp.logical_not(all_done))
+        def _():
+            prev = prevS[:, :M]
+            ctx = ctxS[:]
+            h1, c1, h2, c2 = h1S[:], c1S[:], h2S[:], c2S[:]
+            mu = muS[:, 0:1]
+            alpha = alphaS[:]
+            cum = cumS[:]
+            mask = mask_ref[:]
+
+            # prenet (always-on dropout, modules.py:220-251)
+            p = dropout(jnp.maximum(mm(prev, "pre_w1") + W["pre_b1"][:].astype(f32), 0.0))
+            p = dropout(jnp.maximum(mm(p, "pre_w2") + W["pre_b2"][:].astype(f32), 0.0))
+
+            # LSTM1 over [prenet, context]
+            g1 = mm(p, "l1_pre") + mm(ctx, "l1_ctx") + mm(h1, "l1_h") + W["l1_b"][:].astype(f32)
+            c1n, h1n = _lstm_eval(g1, c1, h1, zoneout)
+            # LSTM2
+            g2 = mm(h1n, "l2_x") + mm(h2, "l2_h") + W["l2_b"][:].astype(f32)
+            c2n, h2n = _lstm_eval(g2, c2, h2, zoneout)
+
+            # --- forward + location-sensitive attention ---
+            # location features: SAME conv over cumulated alignments
+            padl = (taps - 1) // 2
+            cumpadS[:, padl : padl + T_in] = cum
+            conv_w = W["att_conv"][:].astype(f32)  # [taps, F]
+            f_feat = jnp.zeros((B, T_in, F), f32)
+            for j in range(taps):
+                win = cumpadS[:, j : j + T_in]  # [B, T_in]
+                f_feat = f_feat + win[..., None] * conv_w[j][None, None, :]
+            f_feat = f_feat + W["att_conv_b"][:].astype(f32)[None]
+            loc = jnp.dot(
+                f_feat.reshape(B * T_in, F).astype(W["att_wl"].dtype),
+                W["att_wl"][:],
+                preferred_element_type=f32,
+            ).reshape(B, T_in, A)
+            pq = mm(h2n, "att_wq")  # [B, A]
+            e = jnp.tanh(keys_ref[:].astype(f32) + pq[:, None, :] + loc + W["att_b"][:].astype(f32)[None])
+            energy = jnp.sum(e * W["att_v"][:].astype(f32)[None], axis=-1)  # [B, T_in]
+
+            energy = jnp.where(mask > 0, energy, -1e9)
+            energy = energy - jnp.max(energy, axis=-1, keepdims=True)
+            exp_e = jnp.exp(energy)
+            align_sm = exp_e / jnp.sum(exp_e, axis=-1, keepdims=True)
+            cum_new = cum + align_sm
+
+            # forward recursion (attention.py:156-167,218-220)
+            # zero-fill right-shift of alpha: circular roll + mask column 0
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
+            shift_alpha = jnp.where(col == 0, 0.0, pltpu.roll(alpha, shift=1, axis=1))
+            align = ((1.0 - mu) * alpha + mu * shift_alpha + 1e-10) * align_sm
+            align = align / jnp.sum(align, axis=-1, keepdims=True)
+
+            ctx_new = jnp.sum(align[..., None] * values_ref[:].astype(f32), axis=1)  # [B, V]
+            mu_new = jax.nn.sigmoid(
+                mm(ctx_new, "mu_c") + mm(h2n, "mu_q") + W["mu_b"][:].astype(f32)
+            )[:, 0:1]
+
+            frames = mm(h2n, "fp_h") + mm(ctx_new, "fp_c") + W["fp_b"][:].astype(f32)  # [B, M]
+            stop = (mm(h2n, "sp_h") + mm(ctx_new, "sp_c") + W["sp_b"][:].astype(f32))[:, 0]  # [B]
+
+            # freeze finished examples (their state must not advance)
+            live = 1.0 - done  # [B,1]
+            frames_out[s, :, :] = frames * live
+            stops_out[s, :] = jnp.where(done[:, 0] > 0.5, 1e4, stop)
+            aligns_out[s, :, :] = align * live
+
+            c1S[:] = jnp.where(done > 0.5, c1, c1n)
+            h1S[:] = jnp.where(done > 0.5, h1, h1n)
+            c2S[:] = jnp.where(done > 0.5, c2, c2n)
+            h2S[:] = jnp.where(done > 0.5, h2, h2n)
+            ctxS[:] = jnp.where(done > 0.5, ctx, ctx_new)
+            alphaS[:] = jnp.where(done > 0.5, alpha, align)
+            cumS[:] = jnp.where(done > 0.5, cum, cum_new)
+            muS[:, 0:1] = jnp.where(done > 0.5, mu, mu_new)
+            prevS[:, :M] = jnp.where(done > 0.5, prev, frames)
+            newly_done = jax.nn.sigmoid(stop) > 0.5
+            doneS[:, 0] = jnp.maximum(doneS[:, 0], newly_done.astype(f32))
+
+        @pl.when(all_done)
+        def _():
+            frames_out[s, :, :] = jnp.zeros((B, M), f32)
+            stops_out[s, :] = jnp.full((B,), 1e4, f32)
+            aligns_out[s, :, :] = jnp.zeros((B, T_in), f32)
+
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_iters", "chunk", "interpret", "dtype")
+)
+def decode_autoregressive_pallas(
+    params: Params,
+    cfg: TacotronModelConfig,
+    memory: jax.Array,  # [B, T_in, V]
+    mem_mask: jax.Array,  # [B, T_in]
+    rng: jax.Array,
+    max_iters: int,
+    chunk: int = 48,
+    interpret: bool = False,
+    dtype=jnp.bfloat16,
+):
+    """Drop-in for ``models.tacotron.decode_autoregressive`` (inference):
+    returns (frames [B,T,M], stops [B,T], aligns [B,T,T_in], stop_len [B])."""
+    from ..models import attention as ATT
+
+    B, T_in, V = memory.shape
+    A, F, u, M = cfg.attention_dim, cfg.attention_filters, cfg.decoder_lstm_units, 80
+    taps = cfg.attention_kernel
+    keys = ATT.precompute_keys(params["attention"], cfg, memory)
+
+    n_chunks = -(-max_iters // chunk)
+    T_pad = n_chunks * chunk
+    w = pack_weights(params, cfg, dtype)
+
+    key_arr = (
+        jax.random.key_data(rng) if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng
+    )
+    seed = jnp.asarray(
+        [jnp.bitwise_xor.reduce(key_arr.astype(jnp.uint32).ravel()).astype(jnp.int32)]
+    )
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, s: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    cfg_static = (
+        float(cfg.zoneout_rate), float(cfg.dropout_rate), B, T_in, A, V, u, M, F, taps,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            full(keys),
+            full(memory),
+            full(mem_mask),
+            *[full(w[k]) for k in WEIGHT_ORDER],
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, B, M), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, T_in), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, u), jnp.float32),  # c1
+            pltpu.VMEM((B, u), jnp.float32),  # h1
+            pltpu.VMEM((B, u), jnp.float32),  # c2
+            pltpu.VMEM((B, u), jnp.float32),  # h2
+            pltpu.VMEM((B, V), jnp.float32),  # context
+            pltpu.VMEM((B, T_in), jnp.float32),  # alpha
+            pltpu.VMEM((B, T_in), jnp.float32),  # cumulated
+            pltpu.VMEM((B, 128), jnp.float32),  # mu (col 0)
+            pltpu.VMEM((B, 128), jnp.float32),  # prev frame (cols 0:M)
+            pltpu.VMEM((B, 128), jnp.float32),  # done flag (col 0)
+            pltpu.VMEM((B, T_in + taps), jnp.float32),  # padded cum for conv
+        ],
+    )
+    frames, stops, aligns = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk, cfg_static=cfg_static),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, B, M), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B, T_in), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, keys, memory, mem_mask, *[w[k] for k in WEIGHT_ORDER])
+
+    frames = jnp.swapaxes(frames[:max_iters], 0, 1)  # [B, T, M]
+    stops = jnp.swapaxes(stops[:max_iters], 0, 1)  # [B, T]
+    aligns = jnp.swapaxes(aligns[:max_iters], 0, 1)  # [B, T, T_in]
+
+    finished = jax.nn.sigmoid(stops) > 0.5
+    # first True index (or max_iters) — same rule as decode_autoregressive
+    idx = jnp.argmax(finished, axis=-1)
+    any_f = jnp.any(finished, axis=-1)
+    stop_len = jnp.where(any_f, idx + 1, max_iters).astype(jnp.int32)
+    return frames, stops, aligns, stop_len

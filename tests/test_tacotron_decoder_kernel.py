@@ -1,0 +1,83 @@
+"""Fused Tacotron decoder kernel: interpret-mode parity with the XLA path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotronv2_wavernn_chinese_tpu.config import default_config
+from tacotronv2_wavernn_chinese_tpu.models import tacotron as T
+from tacotronv2_wavernn_chinese_tpu.ops import tacotron_decoder_kernel as DK
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = default_config().tacotron
+    cfg = dataclasses.replace(
+        cfg,
+        embedding_dim=32, enc_conv_channels=32, enc_conv_layers=1,
+        encoder_lstm_units=32, attention_dim=16, attention_filters=8,
+        attention_kernel=7, prenet_layers=(32, 32), decoder_lstm_units=32,
+        postnet_channels=32, postnet_layers=1,
+        dropout_rate=0.0,  # deterministic prenet for exact parity
+    )
+    params = T.init_tacotron(jax.random.PRNGKey(0), cfg)
+    B, T_in = 2, 16
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([16, 11], jnp.int32)
+    memory, _ = T.encode(params, cfg, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    return cfg, params, memory, mask
+
+
+def test_supported_gate():
+    cfg = default_config().tacotron
+    assert DK.supported(cfg)
+    assert not DK.supported(dataclasses.replace(cfg, attention_mode="lsa"))
+    assert not DK.supported(dataclasses.replace(cfg, outputs_per_step=2))
+    assert not DK.supported(dataclasses.replace(cfg, anti_repeat=True))
+
+
+def test_parity_with_xla_decode(setup):
+    cfg, params, memory, mask = setup
+    rng = jax.random.PRNGKey(5)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg, memory, mask, rng, 24)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg, memory, mask, rng, 24, chunk=8, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_r[:, :n]), np.asarray(st_k[:, :n]), atol=1e-5)
+
+
+def test_chunk_invariance(setup):
+    cfg, params, memory, mask = setup
+    rng = jax.random.PRNGKey(6)
+    a = DK.decode_autoregressive_pallas(
+        params, cfg, memory, mask, rng, 24, chunk=8, interpret=True, dtype=jnp.float32
+    )
+    b = DK.decode_autoregressive_pallas(
+        params, cfg, memory, mask, rng, 24, chunk=24, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+    n = int(np.asarray(a[3]).min())
+    np.testing.assert_allclose(np.asarray(a[0][:, :n]), np.asarray(b[0][:, :n]), atol=1e-6)
+
+
+def test_weight_packing_shapes(setup):
+    cfg, params, memory, _ = setup
+    w = DK.pack_weights(params, cfg, dtype=jnp.float32)
+    V = memory.shape[-1]
+    u = cfg.decoder_lstm_units
+    assert w["l1_pre"].shape == (cfg.prenet_layers[-1], 4 * u)
+    assert w["l1_ctx"].shape == (V, 4 * u)
+    assert w["l1_h"].shape == (u, 4 * u)
+    assert w["att_conv"].shape == (cfg.attention_kernel, cfg.attention_filters)
+    assert w["fp_h"].shape == (u, 80) and w["fp_c"].shape == (V, 80)
+    # split kernels reassemble the originals
+    l1 = np.concatenate([w["l1_pre"], w["l1_ctx"], w["l1_h"]], axis=0)
+    np.testing.assert_allclose(l1, np.asarray(params["dec_lstm1"]["w"]), atol=0)
