@@ -48,11 +48,14 @@ def main() -> None:
     sr = cfg.audio.sample_rate
     on_tpu = jax.default_backend() not in ("cpu",)
 
-    # ~37.5 s of audio -> 3000 mel frames -> 72 folds of 44 frames
+    # server-throughput scenario: a batch of 4 long utterances (~37.5 s each)
+    # vocoded in ONE fused kernel call — all folds share the batch axis
+    # (models/wavernn.py generate_batch)
     T_mel = 3000
+    n_utts = 4 if on_tpu else 1
     base = int.from_bytes(os.urandom(4), "little")
     rng = np.random.RandomState(base % 99991)
-    mel = rng.rand(T_mel, cfg.audio.num_mels).astype(np.float32)
+    mels = [rng.rand(T_mel, cfg.audio.num_mels).astype(np.float32) for _ in range(n_utts)]
 
     params = W.init_wavernn(
         jax.random.PRNGKey(0), cfg.wavernn, cfg.audio.num_mels, cfg.audio.bits
@@ -60,9 +63,13 @@ def main() -> None:
 
     t_frames = cfg.wavernn_gen.target // hop
     ov_frames = cfg.wavernn_gen.overlap // hop
-    folds, n_folds = W.fold_with_overlap(mel, t_frames, ov_frames)
-    folds = np.stack([W.pad_mel_for_generation(f, cfg.wavernn.pad) for f in folds])
-    folds_dev = jnp.asarray(folds)
+    all_folds = []
+    n_folds = 0
+    for mel in mels:
+        folds, n = W.fold_with_overlap(mel, t_frames, ov_frames)
+        all_folds.append(np.stack([W.pad_mel_for_generation(f, cfg.wavernn.pad) for f in folds]))
+        n_folds += n
+    folds_dev = jnp.asarray(np.concatenate(all_folds, axis=0))
 
     if on_tpu:
         from tacotronv2_wavernn_chinese_tpu.ops import wavernn_kernel as K

@@ -455,6 +455,62 @@ def generate(
     return wav.astype(np.float32)
 
 
+def generate_batch(
+    params: Params,
+    model_cfg: WaveRNNModelConfig,
+    gen_cfg: WaveRNNGenConfig,
+    mels: list[np.ndarray],  # unit-range [T_i, M] mels, one per utterance
+    rng: jax.Array,
+    bits: int = 10,
+    apply_mu_law: bool = True,
+    generate_fn=None,
+) -> list[np.ndarray]:
+    """Vocode MANY utterances in one fused kernel invocation.
+
+    All utterances' folds concatenate into a single fold-batch (the kernel's
+    throughput scales with fold count — ~420x realtime at 72 folds, ~690x at
+    512 on v5e), then each utterance is crossfade-unfolded from its own fold
+    slice.  This is the server-throughput path; the reference processes
+    utterances one at a time (wavernn_gen.py:13-45).
+    """
+    hop = model_cfg.total_upsample
+    if gen_cfg.target % hop or gen_cfg.overlap % hop:
+        raise ValueError("target and overlap must be multiples of the hop size")
+    t_frames = gen_cfg.target // hop
+    ov_frames = gen_cfg.overlap // hop
+
+    all_folds, counts, lens = [], [], []
+    for mel in mels:
+        folds, n = fold_with_overlap(np.asarray(mel, np.float32), t_frames, ov_frames)
+        all_folds.append(
+            np.stack([pad_mel_for_generation(f, model_cfg.pad) for f in folds])
+        )
+        counts.append(n)
+        lens.append(mel.shape[0] * hop)
+    stacked = np.concatenate(all_folds, axis=0)
+
+    gen = generate_fn
+    if gen is None:
+        gen = generate_scan
+        if gen_cfg.use_pallas and jax.default_backend() not in ("cpu",):
+            from ..ops import wavernn_kernel as K
+
+            if K.supported(model_cfg, stacked.shape[-1]):
+                gen = K.generate_pallas
+    wav_folds = np.asarray(gen(params, model_cfg, jnp.asarray(stacked), rng, bits, apply_mu_law))
+
+    out, offset = [], 0
+    fade_len = 20 * hop
+    for n, wave_len in zip(counts, lens):
+        wav = xfade_and_unfold(wav_folds[offset : offset + n], gen_cfg.overlap)[:wave_len]
+        wav = np.array(wav, np.float32, copy=True)
+        if wave_len > fade_len:
+            wav[-fade_len:] *= np.linspace(1.0, 0.0, fade_len, dtype=np.float32)
+        out.append(wav)
+        offset += n
+    return out
+
+
 # ---------------------------------------------------------------------------
 # loss
 # ---------------------------------------------------------------------------

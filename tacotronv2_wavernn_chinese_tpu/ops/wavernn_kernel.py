@@ -216,7 +216,7 @@ def generate_pallas(
     bits: int = 10,
     apply_mu_law: bool = True,
     greedy: bool = False,
-    chunk: int = 64,
+    chunk: int | None = None,
     interpret: bool = False,
     dtype=jnp.bfloat16,
 ) -> jax.Array:
@@ -229,6 +229,13 @@ def generate_pallas(
     B, T, _ = cond.shape
     cond = jnp.swapaxes(cond, 0, 1)  # time-major [T, B, COND_W]
     n_classes = 2 ** bits
+
+    if chunk is None:
+        # double-buffered cond chunks must fit VMEM beside ~8.4 MB of bf16
+        # weights: 2 * B * chunk * COND_W * itemsize <= ~5.5 MB
+        itemsize = jnp.dtype(dtype).itemsize
+        budget = int(5_500_000 / max(2 * B * COND_W * itemsize, 1))
+        chunk = max(8, min(64, (budget // 8) * 8))
 
     # pad T to a whole number of chunks
     n_chunks = -(-T // chunk)

@@ -229,3 +229,19 @@ def test_generate_distributed_end_to_end():
     wav = generate_distributed(params, mcfg, gen_cfg, mesh, mel, jax.random.PRNGKey(1), bits=8)
     assert wav.shape == (60 * mcfg.total_upsample,)
     assert np.isfinite(wav).all()
+
+
+def test_generate_batch_multi_utterance():
+    """Multi-utterance fused vocoding: one kernel call, per-utterance unfold."""
+    mcfg = tiny_wavernn()
+    cfg = default_config()
+    gen_cfg = dataclasses.replace(cfg.wavernn_gen, target=100, overlap=20)
+    params = W.init_wavernn(jax.random.PRNGKey(0), mcfg, num_mels=80, bits=8)
+    rs = np.random.RandomState(0)
+    mels = [rs.rand(40, 80).astype(np.float32), rs.rand(25, 80).astype(np.float32)]
+    wavs = W.generate_batch(params, mcfg, gen_cfg, mels, jax.random.PRNGKey(1), bits=8)
+    assert len(wavs) == 2
+    assert wavs[0].shape == (40 * mcfg.total_upsample,)
+    assert wavs[1].shape == (25 * mcfg.total_upsample,)
+    for w in wavs:
+        assert np.isfinite(w).all() and np.abs(w).max() <= 1.0 + 1e-6
