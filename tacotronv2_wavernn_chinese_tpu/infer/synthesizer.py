@@ -159,6 +159,39 @@ class Synthesizer:
             }
         return result
 
+    def synthesize_batch(self, texts: Sequence[str], seed: int = 0):
+        """Batched pipeline: ONE padded acoustic decode for all texts, then
+        ONE fused vocoder call over all utterances' folds
+        (models/wavernn.py generate_batch).  Returns a list of result dicts.
+
+        The reference synthesizes batch mels (synthesizer.py:16-143) but
+        vocodes one utterance at a time; here the fold axes concatenate so
+        vocoder throughput scales with total batch audio.
+        """
+        pyins, ids = [], []
+        for t in texts:
+            p, _ = get_pyin(t)
+            pyins.append(p)
+            ids.append(self.symbols.encode(p))
+        mels, aligns, _ = self.mel_from_ids(ids, seed=seed)
+        if self.vocoder_params is not None:
+            units = [np.asarray(S.mel_to_unit(jnp.asarray(m), self.cfg.audio)) for m in mels]
+            wavs = W.generate_batch(
+                self.vocoder_params,
+                self.cfg.wavernn,
+                self.cfg.wavernn_gen,
+                units,
+                jax.random.PRNGKey(seed),
+                bits=self.cfg.audio.bits,
+                apply_mu_law=self.cfg.audio.mu_law,
+            )
+        else:
+            wavs = [self.mel_to_wav(m, seed=seed) for m in mels]
+        return [
+            {"wav": w, "mel": m, "alignment": a, "pyin": p}
+            for w, m, a, p in zip(wavs, mels, aligns, pyins)
+        ]
+
     def run_live(self):  # pragma: no cover - interactive
         """stdin REPL (reference synthesize.py run_live)."""
         import sys

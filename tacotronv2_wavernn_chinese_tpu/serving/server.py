@@ -114,6 +114,26 @@ class TTSService:
             "align_b64": alignment_to_base64_png(align),
         }
 
+    def generate_many(self, texts: list[str], seed: int = 0) -> dict:
+        """Batched endpoint: one acoustic decode + one fused vocoder call."""
+        t0 = time.time()
+        with self._lock:
+            results = self.synth.synthesize_batch(texts, seed=seed)
+            self.n_requests += len(texts)
+        sr = self.cfg.audio.sample_rate
+        return {
+            "status": 0,
+            "synthesis_s": round(time.time() - t0, 3),
+            "results": [
+                {
+                    "pyin": r["pyin"],
+                    "duration_s": float(len(r["wav"]) / sr),
+                    "wav_b64": wav_to_base64(r["wav"], sr),
+                }
+                for r in results
+            ],
+        }
+
 
 def make_handler(service: TTSService):
     class Handler(BaseHTTPRequestHandler):
@@ -149,12 +169,23 @@ def make_handler(service: TTSService):
                 self._json(404, {"status": 1, "error": "not found"})
 
         def do_POST(self):
-            if self.path != "/generate_tts":
+            if self.path not in ("/generate_tts", "/generate_tts_batch"):
                 self._json(404, {"status": 1, "error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/generate_tts_batch":
+                    texts = [str(t).strip() for t in (req.get("texts") or [])]
+                    texts = [t for t in texts if t]
+                    if not texts:
+                        self._json(400, {"status": 1, "error": "empty texts"})
+                        return
+                    if len(texts) > 64 or any(len(t) > 500 for t in texts):
+                        self._json(400, {"status": 1, "error": "too many/long texts"})
+                        return
+                    self._json(200, service.generate_many(texts, seed=int(req.get("seed", 0))))
+                    return
                 text = (req.get("text") or "").strip()
                 if not text:
                     self._json(400, {"status": 1, "error": "empty text"})

@@ -165,11 +165,16 @@ def main() -> None:
     ap.add_argument("--no-render", action="store_true")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of steps 10-15 here")
+    ap.add_argument("--fine-tune", action="store_true",
+                    help="speaker adaptation: freeze embedding + encoder "
+                         "(reference tacotron.py:167-169)")
     args = ap.parse_args()
 
     cfg = default_config()
     if args.override:
         cfg = cfg.override(args.override)
+    if args.fine_tune:
+        cfg = cfg.override("tacotron_train.fine_tune=true")
     infolog.init(os.path.join(args.log_dir, "train.log"), "tacotron")
     infolog.log(cfg.debug_string())
     run_training(

@@ -231,3 +231,13 @@ def test_wavernn_training_driver_loop(gta_dir, tmp_path):
     )
     assert int(state.step) == 2
     assert os.listdir(tmp_path / "logs_voc" / "checkpoints")
+
+
+def test_synthesize_batch_with_wavernn(taco_state, tmp_path):
+    wstate = wavernn_task.init_state(jax.random.PRNGKey(0), CFG)
+    synth = Synthesizer(CFG, taco_state.params, vocoder_params=wstate.params, max_iters=40)
+    results = synth.synthesize_batch(["你好。", "早上好。"])
+    assert len(results) == 2
+    for r in results:
+        assert r["wav"].size > 0 and np.isfinite(r["wav"]).all()
+        assert r["wav"].shape[0] == r["mel"].shape[0] * CFG.audio.hop_size

@@ -111,3 +111,17 @@ def test_wav_b64_helper_roundtrip():
     with wave.open(io.BytesIO(base64.b64decode(b64))) as w:
         pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
     np.testing.assert_allclose(pcm / 32767.0, wav, atol=1e-4)
+
+
+def test_generate_tts_batch(http_server):
+    code, resp = _post(http_server + "/generate_tts_batch", {"texts": ["你好。", "早上好。"]})
+    assert code == 200 and resp["status"] == 0
+    assert len(resp["results"]) == 2
+    for r in resp["results"]:
+        assert r["duration_s"] > 0
+        with wave.open(io.BytesIO(base64.b64decode(r["wav_b64"]))) as w:
+            assert w.getnframes() > 0
+    code, resp = _post(http_server + "/generate_tts_batch", {"texts": []})
+    assert code == 400
+    code, resp = _post(http_server + "/generate_tts_batch", {"texts": ["好" * 501]})
+    assert code == 400
