@@ -3,13 +3,16 @@
 Status: correct (bit-level parity with the XLA path at f32 — see
 tests/test_tacotron_decoder_kernel.py) but only marginally faster in
 practice (~80 us/step vs ~90 us/step for the XLA ``lax.while_loop`` on
-v5e).  Measurement shows the decoder step is dominated by the *serial
-latency* of its ~15-op dependency chain (prenet -> LSTM1 -> LSTM2 ->
-31-tap conv -> energy -> softmax -> recursion -> context -> projections)
-on small [B<=16] operands, not by HBM weight re-reads — unlike WaveRNN,
-where pinning weights in VMEM bought 18x.  The XLA path therefore remains
-the default; this kernel is kept as a correct, tested base for future
-latency work (bf16 chain, conv-as-matmul, multi-step software pipelining).
+v5e).  Ablation timing (the ``ablate`` arg: "noconv"/"noatt"/"nornn"/
+"noexit" stub out the location conv, the whole attention energy, both
+LSTMs, or the early-stop predication) shows EVERY variant lands at
+~81-93 us/step — no single stage dominates.  The per-step floor is
+structural: fixed issue overhead across the ~70 distinct ops per frame on
+tiny [B<=16] operands (compare the WaveRNN kernel: ~25 ops/step at 8 us).
+Unlike WaveRNN, HBM weight re-reads are not the bottleneck, so VMEM
+pinning does not pay.  The XLA path remains the default; this kernel is a
+correct, tested base for future latency work (op-count reduction via
+merged projections, multi-frame unrolling, r>1 decoding).
 
 This kernel runs the entire per-frame chain on-chip:
 
@@ -131,6 +134,7 @@ def _kernel(
     *rest,
     chunk: int,
     cfg_static: tuple,
+    ablate: str = "full",
 ):
     (zoneout, drop_rate, B, T_in, A, V, u, M, F, taps) = cfg_static
     weights = rest[: len(WEIGHT_ORDER)]
@@ -168,11 +172,14 @@ def _kernel(
         return jnp.dot(x.astype(wref.dtype), wref[:], preferred_element_type=f32)
 
     def body(s, _):
-        done = doneS[:, 0:1]  # [B,1] 1.0 = finished
-        all_done = jnp.min(doneS[:, 0]) > 0.5
+        if ablate == "noexit":
+            done = jnp.zeros((B, 1), jnp.float32)
+            all_done = jnp.asarray(False)
+        else:
+            done = doneS[:, 0:1]  # [B,1] 1.0 = finished
+            all_done = jnp.min(doneS[:, 0]) > 0.5
 
-        @pl.when(jnp.logical_not(all_done))
-        def _():
+        def compute():
             prev = prevS[:, :M]
             ctx = ctxS[:]
             h1, c1, h2, c2 = h1S[:], c1S[:], h2S[:], c2S[:]
@@ -185,31 +192,41 @@ def _kernel(
             p = dropout(jnp.maximum(mm(prev, "pre_w1") + W["pre_b1"][:].astype(f32), 0.0))
             p = dropout(jnp.maximum(mm(p, "pre_w2") + W["pre_b2"][:].astype(f32), 0.0))
 
-            # LSTM1 over [prenet, context]
-            g1 = mm(p, "l1_pre") + mm(ctx, "l1_ctx") + mm(h1, "l1_h") + W["l1_b"][:].astype(f32)
-            c1n, h1n = _lstm_eval(g1, c1, h1, zoneout)
-            # LSTM2
-            g2 = mm(h1n, "l2_x") + mm(h2, "l2_h") + W["l2_b"][:].astype(f32)
-            c2n, h2n = _lstm_eval(g2, c2, h2, zoneout)
+            if ablate == "nornn":
+                c1n, h1n = c1, p * 0.0 + h1
+                c2n, h2n = c2, h2 + p[:, :h2.shape[-1]] * 1e-6
+            else:
+                # LSTM1 over [prenet, context]
+                g1 = mm(p, "l1_pre") + mm(ctx, "l1_ctx") + mm(h1, "l1_h") + W["l1_b"][:].astype(f32)
+                c1n, h1n = _lstm_eval(g1, c1, h1, zoneout)
+                # LSTM2
+                g2 = mm(h1n, "l2_x") + mm(h2, "l2_h") + W["l2_b"][:].astype(f32)
+                c2n, h2n = _lstm_eval(g2, c2, h2, zoneout)
 
             # --- forward + location-sensitive attention ---
             # location features: SAME conv over cumulated alignments
-            padl = (taps - 1) // 2
-            cumpadS[:, padl : padl + T_in] = cum
-            conv_w = W["att_conv"][:].astype(f32)  # [taps, F]
-            f_feat = jnp.zeros((B, T_in, F), f32)
-            for j in range(taps):
-                win = cumpadS[:, j : j + T_in]  # [B, T_in]
-                f_feat = f_feat + win[..., None] * conv_w[j][None, None, :]
-            f_feat = f_feat + W["att_conv_b"][:].astype(f32)[None]
+            if ablate in ("noconv", "noatt"):
+                f_feat = jnp.zeros((B, T_in, F), f32)
+            else:
+                padl = (taps - 1) // 2
+                cumpadS[:, padl : padl + T_in] = cum
+                conv_w = W["att_conv"][:].astype(f32)  # [taps, F]
+                f_feat = jnp.zeros((B, T_in, F), f32)
+                for j in range(taps):
+                    win = cumpadS[:, j : j + T_in]  # [B, T_in]
+                    f_feat = f_feat + win[..., None] * conv_w[j][None, None, :]
+                f_feat = f_feat + W["att_conv_b"][:].astype(f32)[None]
             loc = jnp.dot(
                 f_feat.reshape(B * T_in, F).astype(W["att_wl"].dtype),
                 W["att_wl"][:],
                 preferred_element_type=f32,
             ).reshape(B, T_in, A)
             pq = mm(h2n, "att_wq")  # [B, A]
-            e = jnp.tanh(keys_ref[:].astype(f32) + pq[:, None, :] + loc + W["att_b"][:].astype(f32)[None])
-            energy = jnp.sum(e * W["att_v"][:].astype(f32)[None], axis=-1)  # [B, T_in]
+            if ablate == "noatt":
+                energy = pq[:, :1] * jnp.ones((B, T_in), f32)
+            else:
+                e = jnp.tanh(keys_ref[:].astype(f32) + pq[:, None, :] + loc + W["att_b"][:].astype(f32)[None])
+                energy = jnp.sum(e * W["att_v"][:].astype(f32)[None], axis=-1)  # [B, T_in]
 
             energy = jnp.where(mask > 0, energy, -1e9)
             energy = energy - jnp.max(energy, axis=-1, keepdims=True)
@@ -248,13 +265,19 @@ def _kernel(
             muS[:, 0:1] = jnp.where(done > 0.5, mu, mu_new)
             prevS[:, :M] = jnp.where(done > 0.5, prev, frames)
             newly_done = jax.nn.sigmoid(stop) > 0.5
-            doneS[:, 0] = jnp.maximum(doneS[:, 0], newly_done.astype(f32))
+            if ablate != "noexit":
+                doneS[:, 0] = jnp.maximum(doneS[:, 0], newly_done.astype(f32))
 
-        @pl.when(all_done)
-        def _():
-            frames_out[s, :, :] = jnp.zeros((B, M), f32)
-            stops_out[s, :] = jnp.full((B,), 1e4, f32)
-            aligns_out[s, :, :] = jnp.zeros((B, T_in), f32)
+        if ablate == "noexit":
+            compute()
+        else:
+            pl.when(jnp.logical_not(all_done))(compute)
+
+            @pl.when(all_done)
+            def _():
+                frames_out[s, :, :] = jnp.zeros((B, M), f32)
+                stops_out[s, :] = jnp.full((B,), 1e4, f32)
+                aligns_out[s, :, :] = jnp.zeros((B, T_in), f32)
 
         return 0
 
@@ -262,7 +285,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "max_iters", "chunk", "interpret", "dtype")
+    jax.jit, static_argnames=("cfg", "max_iters", "chunk", "interpret", "dtype", "ablate")
 )
 def decode_autoregressive_pallas(
     params: Params,
@@ -274,6 +297,7 @@ def decode_autoregressive_pallas(
     chunk: int = 48,
     interpret: bool = False,
     dtype=jnp.bfloat16,
+    ablate: str = "full",
 ):
     """Drop-in for ``models.tacotron.decode_autoregressive`` (inference):
     returns (frames [B,T,M], stops [B,T], aligns [B,T,T_in], stop_len [B])."""
@@ -329,7 +353,7 @@ def decode_autoregressive_pallas(
         ],
     )
     frames, stops, aligns = pl.pallas_call(
-        functools.partial(_kernel, chunk=chunk, cfg_static=cfg_static),
+        functools.partial(_kernel, chunk=chunk, cfg_static=cfg_static, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T_pad, B, M), jnp.float32),
