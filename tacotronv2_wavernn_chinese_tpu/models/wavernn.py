@@ -439,10 +439,17 @@ def generate(
         # Fold on mel frames so each fold carries its own conditioning window.
         t_frames = gen_cfg.target // hop
         ov_frames = gen_cfg.overlap // hop
-        folds, _ = fold_with_overlap(mel, t_frames, ov_frames)
+        folds, n_folds = fold_with_overlap(mel, t_frames, ov_frames)
         folds = np.stack([pad_mel_for_generation(f, model_cfg.pad) for f in folds])
+        # bucket the fold count to a multiple of 8 so repeated calls reuse a
+        # few compiled shapes (extra folds are generated then dropped)
+        n_pad = -(-n_folds // 8) * 8
+        if n_pad != n_folds:
+            folds = np.concatenate(
+                [folds, np.repeat(folds[-1:], n_pad - n_folds, axis=0)], axis=0
+            )
         wav_folds = np.asarray(gen(params, model_cfg, jnp.asarray(folds), rng, bits, apply_mu_law))
-        wav = xfade_and_unfold(wav_folds, gen_cfg.overlap)[:wave_len]
+        wav = xfade_and_unfold(wav_folds[:n_folds], gen_cfg.overlap)[:wave_len]
     else:
         mel_p = pad_mel_for_generation(mel, model_cfg.pad)[None]
         wav = np.asarray(gen(params, model_cfg, jnp.asarray(mel_p), rng, bits, apply_mu_law))[0][:wave_len]

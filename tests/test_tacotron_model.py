@@ -189,3 +189,33 @@ def test_anti_repeat_constraint_runs():
     inputs, lengths, _ = _inputs()
     out = T.forward_inference(p, cfg, inputs, lengths, jax.random.PRNGKey(2), max_iters=8)
     assert np.isfinite(np.asarray(out.mel_outputs)).all()
+
+
+@pytest.mark.parametrize("r", [2, 3])
+def test_outputs_per_step_r(r):
+    """r>1 decoding (reference outputs_per_step): r mel frames per decoder
+    step — the decoder-latency lever (steps/frame drops by r)."""
+    cfg = _tiny_cfg(outputs_per_step=r, max_iters=10)
+    params = T.init_tacotron(jax.random.PRNGKey(0), cfg)
+    B, T_in = 2, 8
+    T_out = 6 * r  # divisible by r
+    inputs = jnp.ones((B, T_in), jnp.int32)
+    lens = jnp.full((B,), T_in, jnp.int32)
+    mels = jax.random.normal(jax.random.PRNGKey(1), (B, T_out, 80))
+
+    out, _ = T.forward_teacher_forced(
+        params, cfg, inputs, lens, mels, True, jax.random.PRNGKey(2)
+    )
+    assert out.mel_outputs.shape == (B, T_out, 80)
+    assert out.stop_logits.shape == (B, T_out)
+    assert out.alignments.shape[1] == T_out // r  # one align per decoder step
+
+    stops = jnp.zeros((B, T_out)).at[:, -1].set(1.0)
+    loss, _ = T.tacotron_loss(
+        out, mels, stops, jnp.full((B,), T_out, jnp.int32), params, cfg
+    )
+    assert np.isfinite(float(loss))
+
+    inf = T.forward_inference(params, cfg, inputs, lens, jax.random.PRNGKey(3), 10)
+    assert inf.mel_outputs.shape == (B, 10 * r, 80)
+    assert int(inf.stop_lengths[0]) % r == 0

@@ -97,18 +97,34 @@ def main() -> None:
     emit("tacotron_train_step_seconds", dt, "s/step", batch_size=B, frames=T_out)
 
     # ---- tacotron AR decode ----------------------------------------------
-    params = state_box[0].params
-    iters = 100 if args.quick else 400
+    # Marginal-rate methodology: (a) random-init params fire the stop token
+    # at step 1, so the stop projection bias is forced to -20 to make every
+    # step really execute; (b) any single call carries the ~32 ms tunnel
+    # dispatch RTT, so the rate is the time DELTA between two iteration
+    # counts divided by the step delta.
+    params = dict(state_box[0].params)
+    params["stop_projection"] = dict(
+        params["stop_projection"],
+        b=jnp.full_like(params["stop_projection"]["b"], -20.0),
+    )
+    it_lo, it_hi = (48, 240) if args.quick else (96, 864)
     inputs = jnp.ones((1, T_in), jnp.int32)
     lens = jnp.full((1,), T_in, jnp.int32)
-    dec = jax.jit(
-        lambda k: T.forward_inference(params, cfg.tacotron, inputs, lens, k, iters).mel_outputs
-    )
-    dt = timed(dec, key)
-    emit("tacotron_decoder_steps_per_second", iters / dt, "steps/s", batch_size=1)
+
+    def dec(it):
+        return jax.jit(
+            lambda k, i=it: T.forward_inference(
+                params, cfg.tacotron, inputs, lens, k, i
+            ).mel_outputs
+        )
+
+    dt_lo = timed(dec(it_lo), key)
+    dt_hi = timed(dec(it_hi), key)
+    per_step = (dt_hi - dt_lo) / (it_hi - it_lo)
+    emit("tacotron_decoder_steps_per_second", 1.0 / per_step, "steps/s", batch_size=1)
     emit(
         "tacotron_inference_x_realtime",
-        (iters / dt) * hop / sr,
+        (1.0 / per_step) * hop / sr,
         "x_realtime",
         batch_size=1,
     )
