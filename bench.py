@@ -43,6 +43,9 @@ def _sync_scalar(x) -> float:
 
 
 def main() -> None:
+    from tacotronv2_wavernn_chinese_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     cfg = default_config()
     hop = cfg.wavernn.total_upsample
     sr = cfg.audio.sample_rate

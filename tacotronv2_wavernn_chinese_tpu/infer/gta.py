@@ -114,6 +114,9 @@ def merge_shards(out_dir: str, num_shards: int) -> str:
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--metadata", required=True)
     ap.add_argument("--data-dir", required=True)

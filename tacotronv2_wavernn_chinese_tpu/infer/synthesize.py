@@ -20,6 +20,9 @@ from .synthesizer import Synthesizer
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--text", default=None)
     ap.add_argument("--ckpt-dir", required=True)

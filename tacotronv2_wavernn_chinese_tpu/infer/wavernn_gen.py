@@ -49,6 +49,9 @@ def gen_from_mel(cfg, params, mel: np.ndarray, out_path: str, seed: int = 0) -> 
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--file", required=True, help="mel .npy ([T,80] in [0,1]) or .wav")
     ap.add_argument("--ckpt-dir", required=True)

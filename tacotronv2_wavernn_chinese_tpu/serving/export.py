@@ -99,6 +99,9 @@ def load_exported(path: str, max_iters: int | None = None):
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt-dir", required=True)
     ap.add_argument("--wavernn-ckpt-dir", default=None)

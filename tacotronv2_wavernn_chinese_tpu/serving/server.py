@@ -210,6 +210,9 @@ def serve(cfg: Config, synthesizer, host: str = "0.0.0.0", port: int = 8500):
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt-dir", required=True)
     ap.add_argument("--wavernn-ckpt-dir", default=None)

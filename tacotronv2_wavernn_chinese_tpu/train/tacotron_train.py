@@ -156,6 +156,9 @@ class _nullcontext:
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--metadata", required=True)
     ap.add_argument("--mel-dir", required=True)

@@ -154,6 +154,9 @@ def _gen_testset(cfg, params, dataset: VocoderDataset, out_dir, step, log):
 
 
 def main() -> None:
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--metadata", required=True)
     ap.add_argument("--data-dir", required=True)
