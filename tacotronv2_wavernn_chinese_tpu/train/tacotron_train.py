@@ -121,6 +121,7 @@ def run_training(
                     log(f"saved checkpoint at step {step}")
                     if render_eval:
                         _render_eval(cfg, state.params, batch, arrays, pipe, eval_dir, step, log)
+                        _dump_embedding(state.params, eval_dir, log)
             epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()
@@ -145,6 +146,19 @@ def _render_eval(cfg, params, batch, arrays, pipe, eval_dir, step, log):
                          target=np.asarray(batch.mel_targets[0])[:T])
     except Exception as e:  # eval artifacts must never kill training
         log(f"eval render failed: {e}")
+
+
+def _dump_embedding(params, eval_dir, log):
+    """Character-embedding projector TSVs (reference train.py:26-39)."""
+    try:
+        from ..frontend import default_symbols
+        from ..utils.metrics import dump_embedding_projector
+
+        dump_embedding_projector(
+            params["embedding"], list(default_symbols().symbols), eval_dir
+        )
+    except Exception as e:
+        log(f"embedding dump failed: {e}")
 
 
 class _nullcontext:

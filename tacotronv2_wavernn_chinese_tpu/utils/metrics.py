@@ -42,6 +42,23 @@ def read_scalars(path: str) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def dump_embedding_projector(embedding, symbols: list[str], out_dir: str) -> None:
+    """Write the character-embedding table in TensorBoard-projector TSV
+    format (embedding.tsv + metadata.tsv) — the reference logs the same
+    table via the TB projector config (tacotron/train.py:26-39,220-227)."""
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    emb = np.asarray(embedding)
+    with open(os.path.join(out_dir, "embedding.tsv"), "w", encoding="utf-8") as f:
+        for row in emb:
+            f.write("\t".join(f"{v:.6f}" for v in row) + "\n")
+    with open(os.path.join(out_dir, "metadata.tsv"), "w", encoding="utf-8") as f:
+        for i in range(emb.shape[0]):
+            label = symbols[i] if i < len(symbols) else f"sym_{i}"
+            f.write(label + "\n")
+
+
 class Profiler:
     """jax.profiler trace capture for a step window.
 

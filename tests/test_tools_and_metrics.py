@@ -101,3 +101,15 @@ def test_metrics_rows_are_json_lines(tmp_path):
     line = open(tmp_path / "scalars.jsonl").readline()
     row = json.loads(line)
     assert row["note"] == "text-ok" and "wall" in row
+
+
+def test_embedding_projector_dump(tmp_path):
+    from tacotronv2_wavernn_chinese_tpu.frontend import default_symbols
+    from tacotronv2_wavernn_chinese_tpu.utils.metrics import dump_embedding_projector
+
+    emb = np.arange(12, dtype=np.float32).reshape(4, 3)
+    dump_embedding_projector(emb, list(default_symbols().symbols), str(tmp_path))
+    rows = open(tmp_path / "embedding.tsv").read().strip().split("\n")
+    assert len(rows) == 4 and len(rows[0].split("\t")) == 3
+    meta = open(tmp_path / "metadata.tsv", encoding="utf-8").read().strip().split("\n")
+    assert len(meta) == 4 and meta[0] == "_"
