@@ -55,16 +55,27 @@ class Synthesizer:
         self.pipe = S.MelPipeline(cfg.audio)
         self.max_iters = max_iters or cfg.tacotron.max_iters
         mcfg, mi = cfg.tacotron, self.max_iters
-        # fused decoder kernel on TPU when the config supports it
-        # (3x faster per decode step than the XLA while_loop)
+        # fused decoder kernel on TPU when the config + call shape support it
+        # (3x faster per decode step than the XLA while_loop); outside the
+        # kernel's shape envelope the XLA path is used for that shape.
         from ..ops.tacotron_decoder_kernel import supported as _dk_supported
+        from ..ops.tacotron_decoder_kernel import supported_shape as _dk_shape
 
-        use_pallas = _dk_supported(mcfg) and jax.default_backend() not in ("cpu",)
-        self._infer = jax.jit(
-            lambda params, inputs, lens, rng: T.forward_inference(
-                params, mcfg, inputs, lens, rng, mi, use_pallas_decoder=use_pallas
+        kernel_ok = _dk_supported(mcfg) and jax.default_backend() not in ("cpu",)
+        _jit = {
+            flag: jax.jit(
+                lambda params, inputs, lens, rng, f=flag: T.forward_inference(
+                    params, mcfg, inputs, lens, rng, mi, use_pallas_decoder=f
+                )
             )
-        )
+            for flag in (False, True)
+        }
+
+        def infer(params, inputs, lens, rng):
+            use = kernel_ok and _dk_shape(inputs.shape[0], inputs.shape[1])
+            return _jit[use](params, inputs, lens, rng)
+
+        self._infer = infer
 
     @classmethod
     def from_checkpoints(

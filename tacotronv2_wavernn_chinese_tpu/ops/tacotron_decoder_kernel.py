@@ -59,6 +59,14 @@ def supported(cfg: TacotronModelConfig) -> bool:
     )
 
 
+def supported_shape(batch: int, t_in: int) -> bool:
+    """Mosaic only lowers the [B, T_in] -> [B, T_in, 1] expansion in the
+    location-conv accumulation for a single native (8, 128) tile; larger
+    shapes fail with 'Unsupported reshape'.  Callers fall back to the XLA
+    decode outside this envelope."""
+    return batch <= 8 and t_in <= 128
+
+
 def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
     """Split concat-matmul kernels by input segment so the kernel never
     concatenates (each segment is its own MXU matmul)."""
@@ -293,7 +301,7 @@ def decode_autoregressive_pallas(
     mem_mask: jax.Array,  # [B, T_in]
     rng: jax.Array,
     max_iters: int,
-    chunk: int = 48,
+    chunk: int | None = None,
     interpret: bool = False,
     dtype=jnp.bfloat16,
     ablate: str = "full",
@@ -306,6 +314,15 @@ def decode_autoregressive_pallas(
     A, F, u, M = cfg.attention_dim, cfg.attention_filters, cfg.decoder_lstm_units, 80
     taps = cfg.attention_kernel
     keys = ATT.precompute_keys(params["attention"], cfg, memory)
+
+    if chunk is None:
+        # double-buffered output chunks (frames + stops + aligns, f32) must
+        # fit VMEM beside weights (~4 MB bf16) + memory/keys
+        # (B*T_in*(V+A)*4 bytes): budget the chunk so larger B*T_in shrink it
+        fixed = 4_500_000 + B * T_in * (V + A) * 4
+        per_step = 2 * B * (M + 1 + T_in) * 4  # x2 output double buffering
+        budget = max(int((13_000_000 - fixed) / max(per_step, 1)), 8)
+        chunk = max(8, min(48, (budget // 8) * 8))
 
     n_chunks = -(-max_iters // chunk)
     T_pad = n_chunks * chunk
