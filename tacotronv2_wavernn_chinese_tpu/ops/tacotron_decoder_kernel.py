@@ -61,10 +61,10 @@ def supported(cfg: TacotronModelConfig) -> bool:
 
 def supported_shape(batch: int, t_in: int) -> bool:
     """Mosaic only lowers the [B, T_in] -> [B, T_in, 1] expansion in the
-    location-conv accumulation for a single native (8, 128) tile; larger
-    shapes fail with 'Unsupported reshape'.  Callers fall back to the XLA
-    decode outside this envelope."""
-    return batch <= 8 and t_in <= 128
+    location-conv accumulation for a single native (8, 128) tile; B > 8 is
+    handled by the wrapper via sequential 8-example groups, but T_in > 128
+    falls back to the XLA decode."""
+    return t_in <= 128
 
 
 def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
@@ -307,10 +307,32 @@ def decode_autoregressive_pallas(
     ablate: str = "full",
 ):
     """Drop-in for ``models.tacotron.decode_autoregressive`` (inference):
-    returns (frames [B,T,M], stops [B,T], aligns [B,T,T_in], stop_len [B])."""
+    returns (frames [B,T,M], stops [B,T], aligns [B,T,T_in], stop_len [B]).
+
+    Batches beyond the Mosaic tile envelope (B > 8) run as sequential
+    8-example kernel invocations (the last group zero-padded); T_in > 128 is
+    not supported — callers fall back to the XLA decode."""
     from ..models import attention as ATT
 
     B, T_in, V = memory.shape
+    if B > 8:
+        outs = []
+        for start in range(0, B, 8):
+            mem_g = memory[start : start + 8]
+            mask_g = mem_mask[start : start + 8]
+            pad = 8 - mem_g.shape[0]
+            if pad:
+                mem_g = jnp.pad(mem_g, ((0, pad), (0, 0), (0, 0)))
+                mask_g = jnp.pad(mask_g, ((0, pad), (0, 0)), constant_values=1.0)
+            outs.append(
+                decode_autoregressive_pallas(
+                    params, cfg, mem_g, mask_g, jax.random.fold_in(rng, start),
+                    max_iters, chunk, interpret, dtype, ablate,
+                )
+            )
+        return tuple(
+            jnp.concatenate([o[i] for o in outs], axis=0)[:B] for i in range(4)
+        )
     A, F, u, M = cfg.attention_dim, cfg.attention_filters, cfg.decoder_lstm_units, 80
     taps = cfg.attention_kernel
     keys = ATT.precompute_keys(params["attention"], cfg, memory)
