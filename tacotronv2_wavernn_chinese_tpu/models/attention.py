@@ -245,9 +245,10 @@ def _lsa_step(params, cfg, query, state, keys, values, mask, train):
         w = cfg.synthesis_window
         if cfg.anti_repeat:  # 'monotonic' type: only look forward w steps
             valid = (pos >= prev) & (pos < prev + w)
-        else:  # 'window' type: +/- w neighborhood
+        else:  # 'window' type: +/- w neighborhood (exclusive upper bound,
+            # reference location_sensitive_attention.py:209-210)
             back = w // 2 + (w % 2)
-            valid = (pos >= prev - back) & (pos <= prev + w // 2)
+            valid = (pos >= prev - back) & (pos < prev + w // 2)
         energy = jnp.where(valid, energy, NEG_INF)
     align = _masked_softmax(energy, mask, cfg.smoothing)
     max_att = jnp.argmax(align, axis=-1).astype(jnp.int32)

@@ -98,7 +98,9 @@ def init_cbhg(key, cfg: TacotronModelConfig, in_dim: int) -> Params:
         for i in range(cfg.cbhg_highwaynet_layers)
     ]
     gru_fw = L.gru_init(ks[j + 7], cfg.cbhg_highway_units, cfg.cbhg_rnn_units)
-    gru_bw = L.gru_init(ks[j + 7], cfg.cbhg_highway_units, cfg.cbhg_rnn_units)
+    gru_bw = L.gru_init(
+        jax.random.fold_in(ks[j + 7], 1), cfg.cbhg_highway_units, cfg.cbhg_rnn_units
+    )
     return {
         "bank": bank,
         "proj1": proj1,
@@ -291,8 +293,13 @@ def decode_autoregressive(
         fb = fb.at[t].set(frames)
         sb = sb.at[t].set(stop)
         ab = ab.at[t].set(align)
-        # stop when sigmoid(stop) rounds to 1 for all r frames of an example
-        ex_done = jnp.all(jax.nn.sigmoid(stop) > 0.5, axis=-1)
+        # stop policy over the r frames of this step: ANY frame past 0.5
+        # (reference stop_at_any default, helpers.py:58-61) or ALL frames
+        finished_frames = jax.nn.sigmoid(stop) > 0.5
+        if cfg.stop_at_any:
+            ex_done = jnp.any(finished_frames, axis=-1)
+        else:
+            ex_done = jnp.all(finished_frames, axis=-1)
         newly = ex_done & ~finished
         stop_len = jnp.where(newly, t + 1, stop_len)
         finished = finished | ex_done

@@ -495,6 +495,15 @@ def generate_batch(
         counts.append(n)
         lens.append(mel.shape[0] * hop)
     stacked = np.concatenate(all_folds, axis=0)
+    # bucket the total fold count to a multiple of 8 (same as generate()) so
+    # varying text batches reuse a few compiled shapes instead of paying a
+    # fresh remote kernel compile per distinct fold count
+    total = stacked.shape[0]
+    n_pad = -(-total // 8) * 8
+    if n_pad != total:
+        stacked = np.concatenate(
+            [stacked, np.repeat(stacked[-1:], n_pad - total, axis=0)], axis=0
+        )
 
     gen = generate_fn
     if gen is None:

@@ -53,6 +53,7 @@ def supported(cfg: TacotronModelConfig) -> bool:
     return (
         cfg.attention_mode == "forward"
         and cfg.outputs_per_step == 1
+        and len(cfg.prenet_layers) == 2  # pack_weights packs exactly 2 layers
         and not cfg.smoothing
         and not cfg.anti_repeat
         and not cfg.synthesis_constraint

@@ -288,5 +288,7 @@ def generate_pallas(
 
 
 def supported(cfg: WaveRNNModelConfig, num_mels: int = 80) -> bool:
-    """The packed layout assumes the reference geometry (80 mels, aux 32)."""
-    return num_mels == 80 and cfg.res_out_dims // 4 == 32
+    """The packed layout assumes the reference geometry (80 mels, aux 32) and
+    the kernel samples with mu-law argmax — RAW mode only (MOL uses
+    mixture-of-logistics sampling, handled by the scan path)."""
+    return cfg.mode == "RAW" and num_mels == 80 and cfg.res_out_dims // 4 == 32
