@@ -179,14 +179,17 @@ void vl_inv_preemphasis(const float* x, float* y, int64_t n, float k) {
   for (int64_t i = 0; i < n; ++i) { prev = x[i] + k * prev; y[i] = prev; }
 }
 
-// mu-law encode to labels in [0, 2^bits)  (dsp.py:33-39)
+// mu-law encode to labels in [0, mu)  — ``mu`` is the CLASS COUNT (e.g.
+// 1024 for 10-bit), matching Python dsp.mulaw.encode_mu_law which uses
+// m = mu - 1 internally.
 void vl_mulaw_encode(const float* x, int16_t* out, int64_t n, int mu) {
-  const float lmu = std::log1p((float)mu);
+  const int m = mu - 1;
+  const float lm = std::log1p((float)m);
   for (int64_t i = 0; i < n; ++i) {
     float v = x[i];
-    float fx = (v < 0 ? -1.0f : 1.0f) * std::log1p(mu * std::abs(v)) / lmu;
-    int q = (int)((fx + 1.0f) / 2.0f * mu + 0.5f);
-    out[i] = (int16_t)(q < 0 ? 0 : (q > mu ? mu : q));
+    float fx = (v < 0 ? -1.0f : 1.0f) * std::log1p(m * std::abs(v)) / lm;
+    int q = (int)((fx + 1.0f) / 2.0f * m + 0.5f);
+    out[i] = (int16_t)(q < 0 ? 0 : (q > m ? m : q));
   }
 }
 

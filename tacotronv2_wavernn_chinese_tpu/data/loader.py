@@ -22,6 +22,7 @@ import numpy as np
 
 from ..config import Config
 from ..frontend import default_symbols
+from ..utils import round_up as _round_up
 
 
 @dataclass
@@ -32,10 +33,6 @@ class TacotronBatch:
     stop_targets: np.ndarray  # [B, T_out] float32
     target_lengths: np.ndarray  # [B] int32
     indices: list  # metadata row indices (for GTA bookkeeping)
-
-
-def _round_up(x: int, m: int) -> int:
-    return x if x % m == 0 else x + m - x % m
 
 
 class TacotronDataset:
@@ -189,7 +186,8 @@ class VocoderDataset:
             max_start = mel.shape[0] - (self.seq_frames + 2 * self.pad)
             start = rng.randint(self.pad, max(self.pad, max_start) + 1)
             m = mel[start - self.pad : start + self.seq_frames + self.pad]
-            sig_start = (start - self.pad) * hop + self.pad * hop
+            # label window starts exactly at the center-frame boundary
+            sig_start = start * hop
             sig = labels[sig_start : sig_start + self.seq_len + 1]
             if len(sig) < self.seq_len + 1:
                 sig = np.pad(sig, (0, self.seq_len + 1 - len(sig)))

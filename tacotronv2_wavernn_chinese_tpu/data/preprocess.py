@@ -98,8 +98,11 @@ def process_corpus(
     for start in range(0, len(conditioned), bucket_batch):
         chunk = conditioned[start : start + bucket_batch]
         max_len = max(len(p) for _, _, p in chunk)
-        # pad to a whole number of hops (keeps frame count exact per item)
-        pad_len = -(-max_len // a.hop_size) * a.hop_size
+        # pad to a coarse bucket (64 hops ~ 0.8 s) so the jitted mel program
+        # compiles for a handful of shapes instead of one per chunk; the
+        # per-item num_frames trim below removes the excess frames exactly
+        bucket = 64 * a.hop_size
+        pad_len = -(-max_len // bucket) * bucket
         batch = np.zeros((len(chunk), pad_len), np.float32)
         for i, (_, _, preem) in enumerate(chunk):
             batch[i, : len(preem)] = preem

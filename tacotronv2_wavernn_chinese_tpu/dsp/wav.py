@@ -98,4 +98,6 @@ def trim_silence(
 
 
 def rescale(wav: np.ndarray, rescaling_max: float = 0.999) -> np.ndarray:
-    return wav / np.abs(wav).max() * rescaling_max
+    """Peak-normalize (guarded: a digitally-silent input would otherwise
+    divide by zero and NaN the whole feature file)."""
+    return wav / max(1e-8, np.abs(wav).max()) * rescaling_max

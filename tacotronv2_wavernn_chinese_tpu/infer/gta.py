@@ -51,8 +51,9 @@ def generate_gta(
     """Run teacher-forced synthesis over (a shard of) the corpus; returns the
     path of this shard's metadata file."""
     os.makedirs(out_dir, exist_ok=True)
-    rows = read_metadata(metadata_path)
-    dataset = TacotronDataset(rows, data_dir, cfg)
+    dataset = TacotronDataset(read_metadata(metadata_path), data_dir, cfg)
+    # index the dataset's OWN row list (it may filter by clip_mels_length)
+    rows = dataset.rows
     shard_rows = list(range(shard_index, len(rows), num_shards))
 
     mu = 2 ** cfg.audio.bits

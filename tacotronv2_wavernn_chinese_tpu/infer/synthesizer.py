@@ -30,8 +30,7 @@ from ..utils.checkpoints import CheckpointManager
 from ..utils.plot import plot_alignment, plot_spectrogram
 
 
-def _round_up(x: int, m: int) -> int:
-    return x if x % m == 0 else x + m - x % m
+from ..utils import round_up as _round_up
 
 
 class Synthesizer:

@@ -354,10 +354,12 @@ def fold_with_overlap(x: np.ndarray, target: int, overlap: int) -> Tuple[np.ndar
     """Split [T, C] conditioning into overlapping folds [n_folds, target+2*ov, C]
     (reference fatchord_version.py:293-340).  Returns (folds, n_folds)."""
     total = x.shape[0]
-    num_folds = (total - overlap) // (target + overlap)
+    num_folds = max(0, (total - overlap) // (target + overlap))
     extended = num_folds * (overlap + target) + overlap
     remaining = total - extended
-    if remaining != 0:
+    if remaining != 0 or num_folds == 0:
+        # also covers degenerate inputs shorter than one fold (or even the
+        # overlap): always emit at least one zero-padded fold
         num_folds += 1
         padding = target + 2 * overlap - remaining
         x = np.concatenate([x, np.zeros((padding,) + x.shape[1:], x.dtype)], axis=0)

@@ -89,30 +89,24 @@ def generate_distributed(
     apply_mu_law: bool = True,
     axis: str = "data",
 ) -> np.ndarray:
-    """Full batched-fold generation with folds sharded over the mesh;
-    mirrors ``wavernn.generate`` but multi-device."""
+    """Full batched-fold generation with folds sharded over the mesh.
+
+    Reuses ``wavernn.generate`` for the fold/bucket/crossfade pipeline and
+    injects a mesh-sharded ``generate_fn`` that pads the fold batch to the
+    mesh size and drops the extras."""
+    import dataclasses
+
     from ..models import wavernn as W
 
-    hop = model_cfg.total_upsample
-    if gen_cfg.target % hop or gen_cfg.overlap % hop:
-        raise ValueError("target and overlap must be multiples of the hop size")
-    T_mel = mel.shape[0]
-    wave_len = T_mel * hop
-
-    t_frames = gen_cfg.target // hop
-    ov_frames = gen_cfg.overlap // hop
-    folds, n_folds = W.fold_with_overlap(mel, t_frames, ov_frames)
-    folds = np.stack([W.pad_mel_for_generation(f, model_cfg.pad) for f in folds])
-    folds, _ = pad_folds_to_multiple(folds, mesh.devices.size)
-
-    wav_folds = np.asarray(
-        generate_folds_sharded(
-            params, model_cfg, mesh, jnp.asarray(folds), rng, bits, apply_mu_law, axis
+    def sharded_fn(p, cfg_, folds, key, bits_, mu_law):
+        padded, n_orig = pad_folds_to_multiple(np.asarray(folds), mesh.devices.size)
+        out = generate_folds_sharded(
+            p, cfg_, mesh, jnp.asarray(padded), key, bits_, mu_law, axis
         )
-    )[:n_folds]
-    wav = W.xfade_and_unfold(wav_folds, gen_cfg.overlap)[:wave_len]
-    wav = np.array(wav, np.float32, copy=True)
-    fade_len = 20 * hop
-    if wave_len > fade_len:
-        wav[-fade_len:] *= np.linspace(1.0, 0.0, fade_len, dtype=np.float32)
-    return wav
+        return out[:n_orig]
+
+    gen_cfg = dataclasses.replace(gen_cfg, batched=True)
+    return W.generate(
+        params, model_cfg, gen_cfg, mel, rng, bits=bits,
+        apply_mu_law=apply_mu_law, generate_fn=sharded_fn,
+    )

@@ -62,6 +62,9 @@ async function go(){
 def wav_to_base64(wav: np.ndarray, sample_rate: int) -> str:
     """float waveform [-1,1] -> base64 of an int16 WAV container
     (reference website/app/audio.py:16 save_wav-to-buffer + views.py:88)."""
+    peak = float(np.abs(wav).max()) if wav.size else 0.0
+    if peak > 1.0:  # Griffin-Lim output routinely exceeds unit range
+        wav = wav / peak * 0.999
     pcm = (np.clip(wav, -1.0, 1.0) * 32767).astype("<i2")
     buf = io.BytesIO()
     with wave_mod.open(buf, "wb") as w:
@@ -73,20 +76,22 @@ def wav_to_base64(wav: np.ndarray, sample_rate: int) -> str:
 
 
 def alignment_to_base64_png(alignment: np.ndarray) -> str:
-    """Alignment heatmap -> base64 PNG (reference website/app/plot.py:1-27)."""
-    import matplotlib
+    """Alignment heatmap -> base64 PNG (reference website/app/plot.py:1-27).
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    Uses the object-oriented Figure/Agg API (no pyplot global state machine)
+    so concurrent HTTP handler threads can render safely."""
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
-    fig, ax = plt.subplots(figsize=(6, 4))
+    fig = Figure(figsize=(6, 4))
+    FigureCanvasAgg(fig)
+    ax = fig.add_subplot()
     im = ax.imshow(alignment.T, aspect="auto", origin="lower", interpolation="none")
     fig.colorbar(im, ax=ax)
     ax.set_xlabel("decoder step")
     ax.set_ylabel("encoder step")
     buf = io.BytesIO()
     fig.savefig(buf, format="png")
-    plt.close(fig)
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 

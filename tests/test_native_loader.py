@@ -88,7 +88,7 @@ def test_preemphasis_parity():
 def test_mulaw_parity():
     x = np.random.RandomState(0).uniform(-1, 1, 5000).astype(np.float32)
     ref = np.asarray(mulaw.encode_mu_law(x, mu=1024))
-    nat = NL.mulaw_encode_native(x, 1023)
+    nat = NL.mulaw_encode_native(x, 1024)
     assert (ref == nat).mean() == 1.0
 
 

@@ -207,3 +207,22 @@ def test_num_params_full_size():
     p = W.init_wavernn(jax.random.PRNGKey(0), cfg.wavernn, 80, cfg.audio.bits)
     n = W.num_params(p)
     assert 4_000_000 < n < 6_000_000
+
+
+def test_fold_degenerate_short_input():
+    """Inputs shorter than one fold (even shorter than the overlap) must
+    still produce one zero-padded fold instead of crashing np.stack."""
+    for T in (1, 2, 10):
+        x = np.ones((T, 3), np.float32)
+        folds, n = W.fold_with_overlap(x, target=100, overlap=20)
+        assert n == 1 and folds.shape == (1, 140, 3)
+        np.testing.assert_array_equal(folds[0, :T], x)
+
+
+def test_generate_degenerate_short_mel(cfg, params):
+    """A 1-frame mel (e.g. instant stop-token fire) must vocode cleanly."""
+    mel = np.random.RandomState(0).rand(3, 80).astype(np.float32)
+    wav = W.generate(params, cfg.wavernn, cfg.wavernn_gen, mel,
+                     jax.random.PRNGKey(0), bits=cfg.audio.bits)
+    assert wav.shape == (3 * cfg.wavernn.total_upsample,)
+    assert np.isfinite(wav).all()
