@@ -86,11 +86,14 @@ def main() -> None:
 
     key = jax.random.PRNGKey(base)
     t0 = time.time()
-    try:
-        _sync_scalar(gen(key))
-    except Exception as e:  # robust: never leave the driver without a number
-        print(f"pallas path failed ({e}); falling back to scan", file=sys.stderr)
-        gen, path = scan_gen, "scan"
+    if path == "pallas":
+        try:
+            _sync_scalar(gen(key))
+        except Exception as e:  # robust: never leave the driver without a number
+            print(f"pallas path failed ({e}); falling back to scan", file=sys.stderr)
+            gen, path = scan_gen, "scan"
+            _sync_scalar(gen(key))
+    else:
         _sync_scalar(gen(key))
     print(f"compile+warmup: {time.time() - t0:.1f}s ({path})", file=sys.stderr)
 
@@ -101,7 +104,9 @@ def main() -> None:
         walls.append(time.time() - t0)
     wall = min(walls)
 
-    audio_seconds = n_folds * (cfg.wavernn_gen.target + 2 * cfg.wavernn_gen.overlap) / sr
+    # deliverable audio only: the crossfaded overlaps and padded tails are
+    # generated twice / discarded, so count T_mel * hop per utterance
+    audio_seconds = n_utts * T_mel * hop / sr
     value = audio_seconds / wall
     print(
         f"{audio_seconds:.1f}s audio in {wall:.3f}s wall "

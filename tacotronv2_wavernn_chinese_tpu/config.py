@@ -241,7 +241,7 @@ class Config:
         """
         if isinstance(assignments, str):
             pairs = {}
-            for item in filter(None, (s.strip() for s in assignments.split(","))):
+            for item in filter(None, (s.strip() for s in _split_assignments(assignments))):
                 key, _, val = item.partition("=")
                 pairs[key.strip()] = val.strip()
         else:
@@ -256,6 +256,24 @@ class Config:
 
     def debug_string(self) -> str:
         return json.dumps(self.to_dict(), indent=2, sort_keys=True, default=str)
+
+
+def _split_assignments(text: str) -> list[str]:
+    """Split ``a=1,b=(2,3),c=4`` on commas OUTSIDE parens/brackets so
+    tuple-valued overrides work (plain str.split broke them)."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
 
 
 def _coerce(old: Any, val: Any) -> Any:

@@ -47,6 +47,23 @@ class Lexicon:
         for entries in self.phrase.values():
             entries.sort(key=lambda e: -len(e[0]))
 
+    @classmethod
+    def from_dicts(
+        cls,
+        char: dict[str, list[str]],
+        phrases: dict[str, list[str]] | dict[str, tuple[str, ...]],
+    ) -> "Lexicon":
+        """Build a Lexicon from in-memory dicts (used by tools/build_lexicon
+        during iterative mining) with the same indexing as file loading."""
+        lex = cls.__new__(cls)
+        lex.char = {ch: list(rs) for ch, rs in char.items()}
+        lex.phrase = {}
+        for p, r in phrases.items():
+            lex.phrase.setdefault(p[0], []).append((p, list(r)))
+        for entries in lex.phrase.values():
+            entries.sort(key=lambda e: -len(e[0]))
+        return lex
+
 
 @lru_cache(maxsize=1)
 def default_lexicon() -> Lexicon:

@@ -78,18 +78,12 @@ def wav_to_base64(wav: np.ndarray, sample_rate: int) -> str:
 def alignment_to_base64_png(alignment: np.ndarray) -> str:
     """Alignment heatmap -> base64 PNG (reference website/app/plot.py:1-27).
 
-    Uses the object-oriented Figure/Agg API (no pyplot global state machine)
-    so concurrent HTTP handler threads can render safely."""
-    from matplotlib.backends.backend_agg import FigureCanvasAgg
-    from matplotlib.figure import Figure
+    Thread-safe: ``utils.plot`` renders via the OO Figure/Agg API."""
+    from ..utils.plot import alignment_figure
 
-    fig = Figure(figsize=(6, 4))
-    FigureCanvasAgg(fig)
-    ax = fig.add_subplot()
-    im = ax.imshow(alignment.T, aspect="auto", origin="lower", interpolation="none")
-    fig.colorbar(im, ax=ax)
-    ax.set_xlabel("decoder step")
-    ax.set_ylabel("encoder step")
+    fig = alignment_figure(alignment, figsize=(6, 4))
+    if fig is None:  # matplotlib absent
+        return ""
     buf = io.BytesIO()
     fig.savefig(buf, format="png")
     return base64.b64encode(buf.getvalue()).decode("ascii")

@@ -56,7 +56,7 @@ class ValueWindow:
         self._values: list[float] = []
 
     def append(self, x: float) -> None:
-        self._values = self._values[-(self._window_size - 1):] + [float(x)]
+        self._values = (self._values + [float(x)])[-self._window_size:]
 
     @property
     def sum(self) -> float:

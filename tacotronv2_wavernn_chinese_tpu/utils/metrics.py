@@ -78,6 +78,15 @@ class Profiler:
             return
         import jax
 
+        if jax.default_backend() == "axon":
+            # the axon tunnel backend hangs on profiler trace capture
+            # (see CLAUDE.md); refuse rather than wedge the device
+            if not self._active and step == self.start_step:
+                print("WARNING: jax.profiler unsupported on the axon backend; "
+                      "skipping trace capture")
+                self._active = True  # warn once
+            return
+
         if not self._active and step == self.start_step:
             jax.profiler.start_trace(self.log_dir)
             self._active = True

@@ -113,3 +113,28 @@ def test_embedding_projector_dump(tmp_path):
     assert len(rows) == 4 and len(rows[0].split("\t")) == 3
     meta = open(tmp_path / "metadata.tsv", encoding="utf-8").read().strip().split("\n")
     assert len(meta) == 4 and meta[0] == "_"
+
+
+def test_override_tuple_values():
+    """Comma-containing tuple overrides parse correctly (paren-aware split)."""
+    from tacotronv2_wavernn_chinese_tpu.config import default_config
+
+    cfg = default_config().override(
+        "wavernn.upsample_factors=(5,5,11),tacotron.prenet_layers=(128,128),audio.bits=9"
+    )
+    assert cfg.wavernn.upsample_factors == (5, 5, 11)
+    assert cfg.tacotron.prenet_layers == (128, 128)
+    assert cfg.audio.bits == 9
+
+
+def test_value_window_evicts_at_size_one():
+    from tacotronv2_wavernn_chinese_tpu.utils.logging import ValueWindow
+
+    w = ValueWindow(1)
+    for v in (1.0, 2.0, 3.0):
+        w.append(v)
+    assert w.count == 1 and w.average == 3.0
+    w5 = ValueWindow(3)
+    for v in range(10):
+        w5.append(float(v))
+    assert w5.count == 3 and w5.average == 8.0

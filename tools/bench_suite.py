@@ -67,9 +67,12 @@ def main() -> None:
     wavs = jnp.asarray(
         np.random.RandomState(base % 997).uniform(-1, 1, (B_mel, secs * sr)).astype(np.float32)
     )
-    mel_fn = jax.jit(jax.vmap(pipe.melspectrogram))
-    noise = lambda k: wavs + 1e-6 * jax.random.normal(k, wavs.shape)
-    dt = timed(lambda k: mel_fn(noise(k)), key)
+    mel_fn = jax.jit(
+        lambda k: jax.vmap(pipe.melspectrogram)(
+            wavs + 1e-6 * jax.random.normal(k, wavs.shape)
+        )
+    )
+    dt = timed(mel_fn, key)
     emit("mel_extraction_audio_seconds_per_second", B_mel * secs / dt, "audio_s/s")
 
     # ---- tacotron train step ---------------------------------------------
@@ -120,7 +123,8 @@ def main() -> None:
 
     dt_lo = timed(dec(it_lo), key)
     dt_hi = timed(dec(it_hi), key)
-    per_step = (dt_hi - dt_lo) / (it_hi - it_lo)
+    # guard: RTT jitter can swamp the delta in --quick mode
+    per_step = max((dt_hi - dt_lo) / (it_hi - it_lo), 1e-9)
     emit("tacotron_decoder_steps_per_second", 1.0 / per_step, "steps/s", batch_size=1)
     emit(
         "tacotron_inference_x_realtime",
@@ -160,19 +164,22 @@ def main() -> None:
     folds = jnp.asarray(
         np.stack([W.pad_mel_for_generation(f, cfg.wavernn.pad) for f in folds])
     )
-    audio_s = n_folds * (cfg.wavernn_gen.target + 2 * cfg.wavernn_gen.overlap) / sr
+    audio_s = T_mel * hop / sr  # deliverable audio (overlaps/padding excluded)
     wp = wstate_box[0].params
 
     dt = timed(lambda k: W.generate_scan(wp, cfg.wavernn, folds, k, cfg.audio.bits), key)
     emit("wavernn_gen_scan_x_realtime", audio_s / dt, "x_realtime", folds=n_folds)
 
     if on_tpu:
-        from tacotronv2_wavernn_chinese_tpu.ops import wavernn_kernel as K
+        try:
+            from tacotronv2_wavernn_chinese_tpu.ops import wavernn_kernel as K
 
-        dt = timed(
-            lambda k: K.generate_pallas(wp, cfg.wavernn, folds, k, cfg.audio.bits), key
-        )
-        emit("wavernn_gen_pallas_x_realtime", audio_s / dt, "x_realtime", folds=n_folds)
+            dt = timed(
+                lambda k: K.generate_pallas(wp, cfg.wavernn, folds, k, cfg.audio.bits), key
+            )
+            emit("wavernn_gen_pallas_x_realtime", audio_s / dt, "x_realtime", folds=n_folds)
+        except Exception as e:  # non-TPU accelerators can't run the Mosaic kernel
+            print(f"# pallas generation skipped: {e}")
 
     out = "bench_suite_results.json"
     with open(out, "w") as f:

@@ -168,14 +168,7 @@ def main() -> None:
     from tacotronv2_wavernn_chinese_tpu.frontend.g2p import Lexicon, get_pyin
 
     def make_lexicon(phrase_map: dict[str, tuple[str, ...]]) -> Lexicon:
-        lex = Lexicon.__new__(Lexicon)
-        lex.char = {ch: rs for ch, rs in char_rows}
-        lex.phrase = {}
-        for p, r in phrase_map.items():
-            lex.phrase.setdefault(p[0], []).append((p, list(r)))
-        for entries in lex.phrase.values():
-            entries.sort(key=lambda e: -len(e[0]))
-        return lex
+        return Lexicon.from_dicts({ch: rs for ch, rs in char_rows}, phrase_map)
 
     def evaluate(lex: Lexicon):
         """Return (exact, token_acc, error list of (text, syls, pred_syls))."""
