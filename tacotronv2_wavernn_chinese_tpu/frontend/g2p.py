@@ -27,22 +27,28 @@ _RAW_PINYIN = re.compile(r"[a-z]+[0-4]?")
 class Lexicon:
     """Char + phrase pronunciation dictionaries (tone-digit syllables)."""
 
-    def __init__(self, char_tsv: str, phrase_tsv: str):
+    def __init__(self, char_tsv: str, phrase_tsv: str, overrides_tsv: str | None = None):
         self.char: dict[str, list[str]] = {}
         with open(char_tsv, encoding="utf-8") as f:
             for line in f:
                 ch, _, readings = line.rstrip("\n").partition("\t")
                 if ch and readings:
                     self.char[ch] = readings.split(",")
+        # phrase -> reading map; overrides (corpus-mined corrections, see
+        # tools/mine_lexicon_overrides.py) replace same-key base entries
+        phrase_map: dict[str, list[str]] = {}
+        for path in filter(None, (phrase_tsv, overrides_tsv)):
+            if not os.path.exists(path):
+                continue
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    phrase, _, reading = line.rstrip("\n").partition("\t")
+                    if phrase and reading:
+                        phrase_map[phrase] = reading.split(" ")
         # phrases indexed by first char for greedy longest-match
         self.phrase: dict[str, list[tuple[str, list[str]]]] = {}
-        with open(phrase_tsv, encoding="utf-8") as f:
-            for line in f:
-                phrase, _, reading = line.rstrip("\n").partition("\t")
-                if phrase and reading:
-                    self.phrase.setdefault(phrase[0], []).append(
-                        (phrase, reading.split(" "))
-                    )
+        for phrase, reading in phrase_map.items():
+            self.phrase.setdefault(phrase[0], []).append((phrase, reading))
         # longest phrases first so greedy match prefers maximal context
         for entries in self.phrase.values():
             entries.sort(key=lambda e: -len(e[0]))
@@ -70,6 +76,7 @@ def default_lexicon() -> Lexicon:
     return Lexicon(
         os.path.join(_DATA_DIR, "char_pinyin.tsv"),
         os.path.join(_DATA_DIR, "phrase_pinyin.tsv"),
+        os.path.join(_DATA_DIR, "phrase_overrides.tsv"),
     )
 
 
@@ -100,7 +107,13 @@ def get_pyin(
         if "a" <= ch <= "z":
             m = _RAW_PINYIN.match(text, i)
             syllable = m.group(0)
-            tokens.extend(split_syllable(syllable))
+            if syllable in ("pi1", "bi1"):
+                # the reference emits these two raw tokens unsplit
+                # (parse_text_to_pyin.py:170-180) and both are atomic entries
+                # in the frozen 191-symbol vocabulary — keep them whole
+                tokens.append(syllable)
+            else:
+                tokens.extend(split_syllable(syllable))
             i = m.end()
             if i < n and text[i] == " ":
                 i += 1
