@@ -37,9 +37,10 @@ class Lexicon:
         # phrase -> reading map; overrides (corpus-mined corrections, see
         # tools/mine_lexicon_overrides.py) replace same-key base entries
         phrase_map: dict[str, list[str]] = {}
-        for path in filter(None, (phrase_tsv, overrides_tsv)):
-            if not os.path.exists(path):
-                continue
+        paths = [phrase_tsv]  # base dictionary is mandatory (raises if absent)
+        if overrides_tsv and os.path.exists(overrides_tsv):
+            paths.append(overrides_tsv)
+        for path in paths:
             with open(path, encoding="utf-8") as f:
                 for line in f:
                     phrase, _, reading = line.rstrip("\n").partition("\t")

@@ -68,10 +68,14 @@ def split_syllable(syllable: str) -> tuple[str, ...]:
     if not syllable:
         return ()
     if syllable[:2] in ("zh", "ch", "sh"):
-        return (syllable[:2], syllable[2:])
+        # bare toneless digraph ('zh') stays whole — never emit an empty final
+        return (syllable[:2], syllable[2:]) if syllable[2:] else (syllable,)
     if syllable[0] in "aeo":
         return (syllable,)
     if len(syllable) == 2 and syllable[1].isdigit():
+        return (syllable,)
+    if not syllable[1:]:
+        # bare initial ('n' in pre-split raw input 'n i3 h ao3') passes through
         return (syllable,)
     return (syllable[0], syllable[1:])
 

@@ -38,6 +38,16 @@ def test_split_syllable():
     assert split_syllable("n2") == ("n2",)
     assert split_syllable("de") == ("d", "e")
     assert split_syllable("yu3") == ("y", "u3")
+    # bare toneless initials (pre-split raw input) pass through whole
+    assert split_syllable("n") == ("n",)
+    assert split_syllable("zh") == ("zh",)
+
+
+def test_get_pyin_presplit_raw_input():
+    """The reference's documented raw form 'n i3 h ao3' passes through clean
+    (parse_text_to_pyin.py:191 comment) — no empty tokens from bare initials."""
+    assert get_pyin("n i3 h ao3")[0] == "n i3 h ao3"
+    assert get_pyin("ni3 hao3")[0] == "n i3 h ao3"
 
 
 def test_join_split_roundtrip():
@@ -137,7 +147,11 @@ def test_g2p_agreement_full_reference_corpus():
     (tools/mine_lexicon_overrides.py)."""
     from tacotronv2_wavernn_chinese_tpu.frontend import get_pyin as gp
 
-    rows = [l.strip().split("|") for l in open(REF_TRAIN, encoding="utf-8") if l.strip()]
+    rows = [
+        r
+        for r in (l.strip().split("|") for l in open(REF_TRAIN, encoding="utf-8"))
+        if len(r) >= 6
+    ]
     n = exact = tok_match = tok_total = 0
     for r in rows:
         ours, _ = gp(r[4])

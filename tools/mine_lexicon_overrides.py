@@ -70,10 +70,12 @@ def units_of(normalized: str) -> list[str] | None:
     """One unit per hanzi/punct; None if the text has ascii/digit content."""
     if _ASCII.search(normalized):
         return None
+    if " " in normalized:
+        # segment_spans matches on contiguous units; get_pyin cannot match a
+        # phrase across a space, so skip spaced sentences to stay in lockstep
+        return None
     units = []
     for ch in normalized:
-        if ch == " ":
-            continue
         if _HANZI.match(ch) or ch in KEPT_PUNCT:
             units.append(ch)
         else:
@@ -155,7 +157,10 @@ def mine_candidates(
                 exts.append((spans[k_lo - 1][0], spans[k_hi + 1][1]))
             for a, b in exts:
                 phrase = "".join(units[a:b])
-                if not any(u in KEPT_PUNCT for u in phrase):
+                # shortest-first acceptance (below) keeps entries word-sized
+                # whenever a word-sized form suffices; the cap bounds how much
+                # sentence context an otherwise-unfixable case may memorize
+                if len(phrase) <= 10 and not any(u in KEPT_PUNCT for u in phrase):
                     votes[phrase][" ".join(ref_syls[a:b])] += 1
             i = j + 1
     return {p: c.most_common(1)[0][0] for p, c in votes.items()}
@@ -209,11 +214,12 @@ def main() -> None:
             break
         # score each candidate alone on just the sentences containing it:
         # accept iff it strictly nets more fixed than broken sentences.
-        # Longer (more context-specific) candidates are tried first.
+        # Shorter (dictionary-word-sized) candidates are tried first; longer
+        # context-specific ones only survive if the short form was rejected.
         accepted = 0
-        for p, r in sorted(new.items(), key=lambda kv: -len(kv[0])):
+        cur_lex = lex
+        for p, r in sorted(new.items(), key=lambda kv: len(kv[0])):
             subset = [i for i, norm in enumerate(normalized) if p in norm]
-            cur_lex = with_overrides(base, overrides)
             before = [get_pyin(pairs[i][0], lexicon=cur_lex)[0] == pairs[i][1] for i in subset]
             trial_lex = with_overrides(base, {**overrides, p: r})
             after = [get_pyin(pairs[i][0], lexicon=trial_lex)[0] == pairs[i][1] for i in subset]
@@ -221,6 +227,7 @@ def main() -> None:
             breaks = sum(b and not a for a, b in zip(after, before))
             if fixes > breaks:
                 overrides[p] = r
+                cur_lex = trial_lex
                 accepted += 1
         n, _ = evaluate(pairs, with_overrides(base, overrides))
         print(
