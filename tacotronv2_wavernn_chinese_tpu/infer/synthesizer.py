@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
+from ..utils import is_tpu_backend
 from ..dsp import spectrogram as S
 from ..dsp.griffin_lim import inv_mel_spectrogram
 from ..dsp import wav as wavio
@@ -60,7 +61,7 @@ class Synthesizer:
         from ..ops.tacotron_decoder_kernel import supported as _dk_supported
         from ..ops.tacotron_decoder_kernel import supported_shape as _dk_shape
 
-        kernel_ok = _dk_supported(mcfg) and jax.default_backend() not in ("cpu",)
+        kernel_ok = _dk_supported(mcfg) and is_tpu_backend()
         _jit = {
             flag: jax.jit(
                 lambda params, inputs, lens, rng, f=flag: T.forward_inference(

@@ -212,10 +212,14 @@ def _forward_step(params, cfg, query, state, keys, values, mask, train):
         # window alignments to [max-2, max+3)
         window = (pos >= (max_att - 2)[:, None]) & (pos < (max_att + 3)[:, None])
         align = jnp.where(window, align, 0.0)
-        # boost the argmax bin
+        # boost the argmax bin (clipped to the last input position, and with
+        # the reference's near-zero-sum guard so the renormalize below can
+        # never divide 0/0 once max_att runs past T-1 —
+        # forward_attention.py:205-216)
         att_sum = jnp.sum(align, axis=-1, keepdims=True)
-        at_max = pos == max_att[:, None]
-        align = jnp.where(at_max, 0.1 + att_sum * 2.0, align)
+        att_sum = jnp.where(att_sum < 1e-10, 1.0, att_sum)
+        at_max = pos == jnp.clip(max_att, 0, T - 1)[:, None]
+        align = jnp.where(at_max, att_sum * 2.0, align)
 
     align = align / jnp.sum(align, axis=-1, keepdims=True)
     context = jnp.einsum("bt,btv->bv", align, values)

@@ -353,6 +353,9 @@ def apply_cbhg(params: Params, cfg: TacotronModelConfig, x: jax.Array, train: bo
     for hp_ in p["highways"]:
         y = L.highway(hp_, y)
     fw = L.gru_scan(p["gru_fw"], y)
+    # full-axis reverse (not per-length): the reference passes
+    # input_lengths=None to the post-CBHG (tacotron.py:138), so its backward
+    # GRU also runs across padding frames — kept for numerical parity
     bw = L.gru_scan(p["gru_bw"], y[:, ::-1])[:, ::-1]
     rnn_out = jnp.concatenate([fw, bw], axis=-1)
     linear = L.dense(params["linear_projection"], rnn_out)
@@ -480,7 +483,16 @@ def tacotron_loss(
     if linear_targets is not None and out.linear_outputs is not None:
         l1 = jnp.abs(linear_targets - out.linear_outputs)
         n_priority = int(2000 / (sample_rate * 0.5) * linear_targets.shape[-1])
-        linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
+        if mask_decoder:
+            # MaskedLinearLoss (modules.py:457-485): both terms divide by the
+            # FULL mask sum, including the low-band term
+            m3 = mask[..., None]
+            denom = jnp.sum(m3) * linear_targets.shape[-1]
+            linear_loss = 0.5 * jnp.sum(l1 * m3) / denom + 0.5 * jnp.sum(
+                (l1 * m3)[:, :, :n_priority]
+            ) / denom
+        else:
+            linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
         loss = loss + linear_loss
         aux["linear"] = linear_loss
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AudioConfig, WaveRNNGenConfig, WaveRNNModelConfig
+from ..utils import is_tpu_backend
 from . import layers as L
 
 Params = Dict[str, Any]
@@ -161,7 +162,7 @@ def upsample(params: Params, cfg: WaveRNNModelConfig, mels: jax.Array, train: bo
     for taps, s in zip(params["upsample"]["kernels"], cfg.upsample_factors):
         x = _stretch_smooth(x, taps, s)
     indent = cfg.pad * total
-    x = x[:, indent:-indent, :]
+    x = x[:, indent : -indent or None, :]
     return x, aux, dict(params, resnet=new_resnet)
 
 
@@ -387,8 +388,9 @@ def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
     fout = np.concatenate([fade_out, np.zeros(silence_len)])  # [overlap]
 
     y = y.astype(np.float64).copy()
-    y[:, :overlap] *= fin
-    y[:, -overlap:] *= fout
+    if overlap:
+        y[:, :overlap] *= fin
+        y[:, -overlap:] *= fout
 
     total = num_folds * (target + overlap) + overlap
     unfolded = np.zeros(total, np.float64)
@@ -396,6 +398,20 @@ def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
         start = i * (target + overlap)
         unfolded[start : start + length] += y[i]
     return unfolded.astype(np.float32)
+
+
+def bucket_folds(folds: np.ndarray, multiple: int = 8) -> np.ndarray:
+    """Pad the fold axis up to a multiple (repeating the last fold) so
+    repeated calls reuse a few compiled shapes; callers drop the extras."""
+    from ..utils import round_up
+
+    n = folds.shape[0]
+    n_pad = round_up(n, multiple)
+    if n_pad != n:
+        folds = np.concatenate(
+            [folds, np.repeat(folds[-1:], n_pad - n, axis=0)], axis=0
+        )
+    return folds
 
 
 def pad_mel_for_generation(mel: np.ndarray, pad: int) -> np.ndarray:
@@ -431,7 +447,7 @@ def generate(
     gen = generate_fn
     if gen is None:
         gen = generate_scan
-        if gen_cfg.use_pallas and jax.default_backend() not in ("cpu",):
+        if gen_cfg.use_pallas and is_tpu_backend():
             from ..ops import wavernn_kernel as K
 
             if K.supported(model_cfg, mel.shape[1]):
@@ -443,13 +459,7 @@ def generate(
         ov_frames = gen_cfg.overlap // hop
         folds, n_folds = fold_with_overlap(mel, t_frames, ov_frames)
         folds = np.stack([pad_mel_for_generation(f, model_cfg.pad) for f in folds])
-        # bucket the fold count to a multiple of 8 so repeated calls reuse a
-        # few compiled shapes (extra folds are generated then dropped)
-        n_pad = -(-n_folds // 8) * 8
-        if n_pad != n_folds:
-            folds = np.concatenate(
-                [folds, np.repeat(folds[-1:], n_pad - n_folds, axis=0)], axis=0
-            )
+        folds = bucket_folds(folds)
         wav_folds = np.asarray(gen(params, model_cfg, jnp.asarray(folds), rng, bits, apply_mu_law))
         wav = xfade_and_unfold(wav_folds[:n_folds], gen_cfg.overlap)[:wave_len]
     else:
@@ -500,17 +510,12 @@ def generate_batch(
     # bucket the total fold count to a multiple of 8 (same as generate()) so
     # varying text batches reuse a few compiled shapes instead of paying a
     # fresh remote kernel compile per distinct fold count
-    total = stacked.shape[0]
-    n_pad = -(-total // 8) * 8
-    if n_pad != total:
-        stacked = np.concatenate(
-            [stacked, np.repeat(stacked[-1:], n_pad - total, axis=0)], axis=0
-        )
+    stacked = bucket_folds(stacked)
 
     gen = generate_fn
     if gen is None:
         gen = generate_scan
-        if gen_cfg.use_pallas and jax.default_backend() not in ("cpu",):
+        if gen_cfg.use_pallas and is_tpu_backend():
             from ..ops import wavernn_kernel as K
 
             if K.supported(model_cfg, stacked.shape[-1]):

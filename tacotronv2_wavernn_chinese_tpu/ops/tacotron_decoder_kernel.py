@@ -323,8 +323,11 @@ def decode_autoregressive_pallas(
             mask_g = mem_mask[start : start + 8]
             pad = 8 - mem_g.shape[0]
             if pad:
-                mem_g = jnp.pad(mem_g, ((0, pad), (0, 0), (0, 0)))
-                mask_g = jnp.pad(mask_g, ((0, pad), (0, 0)), constant_values=1.0)
+                # pad by repeating a real example (not zeros): zero-memory rows
+                # never fire the stop token, which would defeat the kernel's
+                # all-done early exit and pin the last group at max_iters
+                mem_g = jnp.concatenate([mem_g, jnp.repeat(mem_g[-1:], pad, 0)], 0)
+                mask_g = jnp.concatenate([mask_g, jnp.repeat(mask_g[-1:], pad, 0)], 0)
             outs.append(
                 decode_autoregressive_pallas(
                     params, cfg, mem_g, mask_g, jax.random.fold_in(rng, start),

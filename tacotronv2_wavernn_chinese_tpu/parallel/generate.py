@@ -29,16 +29,15 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..config import WaveRNNGenConfig, WaveRNNModelConfig
+from ..utils import is_tpu_backend
 
 
 def pad_folds_to_multiple(folds: np.ndarray, n: int) -> tuple[np.ndarray, int]:
     """Pad the fold axis up to a multiple of the mesh size (extra folds are
     generated then dropped)."""
-    B = folds.shape[0]
-    rem = (-B) % n
-    if rem:
-        folds = np.concatenate([folds, np.repeat(folds[-1:], rem, axis=0)], axis=0)
-    return folds, B
+    from ..models.wavernn import bucket_folds
+
+    return bucket_folds(folds, n), folds.shape[0]
 
 
 def generate_folds_sharded(
@@ -51,13 +50,14 @@ def generate_folds_sharded(
     apply_mu_law: bool = True,
     axis: str = "data",
     generate_fn: Callable | None = None,
+    use_pallas: bool = True,
 ) -> jax.Array:
     """Run fold generation with the fold axis sharded over ``axis``."""
     if generate_fn is None:
         from ..models.wavernn import generate_scan
 
         generate_fn = generate_scan
-        if jax.default_backend() not in ("cpu",):
+        if use_pallas and is_tpu_backend():
             from ..ops import wavernn_kernel as K
 
             if K.supported(model_cfg, folds.shape[-1]):
@@ -101,7 +101,8 @@ def generate_distributed(
     def sharded_fn(p, cfg_, folds, key, bits_, mu_law):
         padded, n_orig = pad_folds_to_multiple(np.asarray(folds), mesh.devices.size)
         out = generate_folds_sharded(
-            p, cfg_, mesh, jnp.asarray(padded), key, bits_, mu_law, axis
+            p, cfg_, mesh, jnp.asarray(padded), key, bits_, mu_law, axis,
+            use_pallas=gen_cfg.use_pallas,
         )
         return out[:n_orig]
 

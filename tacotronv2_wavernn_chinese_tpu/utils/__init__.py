@@ -1,7 +1,14 @@
-
-
-
 def round_up(x: int, m: int) -> int:
     """Round ``x`` up to a multiple of ``m`` (shape-bucketing helper shared
     by the data loader and the synthesizer)."""
     return x if x % m == 0 else x + m - x % m
+
+
+def is_tpu_backend() -> bool:
+    """True when the default JAX backend is a TPU (the axon tunnel also
+    reports "tpu"). The fused Mosaic kernels in ``ops/`` only lower on TPU;
+    every Pallas-vs-scan path selection gates on this, so other accelerators
+    (gpu/rocm) fall back to the portable scan paths."""
+    import jax
+
+    return jax.default_backend() == "tpu"
