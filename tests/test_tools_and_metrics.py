@@ -138,3 +138,33 @@ def test_value_window_evicts_at_size_one():
     for v in range(10):
         w5.append(float(v))
     assert w5.count == 3 and w5.average == 8.0
+
+
+def test_bench_scaling_mechanics():
+    """Scaling harness (tools/bench_scaling.py): sharded train + gen programs
+    compile and run on the 8-device mesh and efficiency is well-formed."""
+    import dataclasses
+
+    import jax
+
+    from tacotronv2_wavernn_chinese_tpu.config import default_config
+    from tools.bench_scaling import _mesh_sizes, bench_gen, bench_train
+
+    assert _mesh_sizes(8) == [1, 2, 4, 8]
+    assert _mesh_sizes(6) == [1, 2, 4, 6]
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        wavernn=dataclasses.replace(
+            cfg.wavernn, upsample_factors=(2, 2, 5), rnn_dims=32, fc_dims=32,
+            compute_dims=16, res_out_dims=16, res_blocks=2,
+        ),
+        audio=dataclasses.replace(cfg.audio, bits=8),
+    )
+    devs = jax.devices()[:2]
+    rate, dt = bench_train(devs, cfg, batch_per_device=1,
+                           seq_len=cfg.wavernn.total_upsample * 2, reps=1)
+    assert rate > 0 and dt > 0
+    rate_g, dt_g = bench_gen(devs, cfg, folds_per_device=1, reps=1)
+    assert rate_g > 0 and dt_g > 0
