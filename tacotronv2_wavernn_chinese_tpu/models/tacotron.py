@@ -414,8 +414,9 @@ def forward_inference(
 ):
     """Autoregressive inference.  ``use_pallas_decoder`` routes the decode
     loop through the fused VMEM-resident kernel
-    (ops/tacotron_decoder_kernel.py: 7.3 us/step vs 23.3 us/step for the
-    XLA while_loop on v5e) — only valid for configs the kernel supports."""
+    (ops/tacotron_decoder_kernel.py: 1.7 us/step vs 20.6 us/step for the
+    XLA while_loop on v5e, B=1) — only valid for configs the kernel
+    supports."""
     k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
     memory, _ = encode(params, cfg, inputs, input_lengths, False, k_enc)
     mem_mask = (jnp.arange(inputs.shape[1])[None, :] < input_lengths[:, None]).astype(jnp.float32)
