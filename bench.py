@@ -66,14 +66,12 @@ def main() -> None:
         jax.random.PRNGKey(0), cfg.wavernn, cfg.audio.num_mels, cfg.audio.bits
     )
 
-    # TPU-tuned fold length: 33,000 samples/fold -> 128-frame folds that align
-    # exactly with the kernel's 32-frame conditioning chunks and cut the
-    # crossfade-overlap recompute from 10% (reference target 11,000,
-    # wavernn_hparams.py:55-57 — tuned for small-batch CPU) to 3.2%.  The
-    # 550-sample equal-power crossfade overlap is unchanged, so the audio is
-    # identical quality; measured 596x -> 666x on v5e (fold-length sweep).
-    target = 33000 if on_tpu else cfg.wavernn_gen.target
-    t_frames = target // hop
+    # fold length = the config default 33,000 samples (TPU-tuned: 128-frame
+    # folds align exactly with the kernel's 32-frame conditioning chunks and
+    # cut the crossfade-overlap recompute from 10% at the reference's 11,000
+    # to 3.2%; same 550-sample crossfade, identical audio quality — measured
+    # 596x -> 666x on v5e in the fold-length sweep)
+    t_frames = cfg.wavernn_gen.target // hop
     ov_frames = cfg.wavernn_gen.overlap // hop
     all_folds = []
     n_folds = 0

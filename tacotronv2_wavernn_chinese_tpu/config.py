@@ -197,13 +197,14 @@ class WaveRNNGenConfig:
     """Batched-fold generation (reference wavernn_hparams.py:53-58)."""
 
     batched: bool = True
-    # samples per fold; 11000 is the reference default (tuned for small-batch
-    # CPU).  On TPU, long utterances vocode ~12% faster with target=33000:
-    # 128-frame folds align exactly with the fused kernel's 32-frame
-    # conditioning chunks and cut the crossfade-overlap recompute from 10%
-    # to 3.2% (fold-length sweep on v5e: 596x -> 666x realtime).  The
-    # overlap — and therefore audio quality — is unaffected.
-    target: int = 11000
+    # samples per fold.  The reference ships 11000 (wavernn_hparams.py:55-57,
+    # tuned for small-batch CPU); this framework defaults to 33000 because on
+    # TPU the resulting 128-frame folds align exactly with the fused kernel's
+    # 32-frame conditioning chunks and cut the crossfade-overlap recompute
+    # from 10% to 3.2% (fold-length sweep on v5e: 596x -> 666x realtime).
+    # The overlap — and therefore audio quality — is unaffected; set 11000
+    # for reference-exact fold geometry.
+    target: int = 33000
     overlap: int = 550  # crossfade overlap
     use_pallas: bool = True
 
