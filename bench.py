@@ -66,12 +66,14 @@ def main() -> None:
         jax.random.PRNGKey(0), cfg.wavernn, cfg.audio.num_mels, cfg.audio.bits
     )
 
-    # fold length = the config default 33,000 samples (TPU-tuned: 128-frame
-    # folds align exactly with the kernel's 32-frame conditioning chunks and
-    # cut the crossfade-overlap recompute from 10% at the reference's 11,000
-    # to 3.2%; same 550-sample crossfade, identical audio quality — measured
-    # 596x -> 666x on v5e in the fold-length sweep)
-    t_frames = cfg.wavernn_gen.target // hop
+    # Throughput-tuned fold length: 33,000 samples/fold cuts the
+    # crossfade-overlap recompute from 10% (at the latency-oriented config
+    # default of 11,000, reference wavernn_hparams.py:55-57) to 3.2% —
+    # measured 596x -> 666x on v5e in a fold-length sweep.  Same 550-sample
+    # crossfade, identical audio quality.  The CPU fallback keeps the small
+    # default so the scan-path bench completes quickly anywhere.
+    target = 33000 if on_tpu else cfg.wavernn_gen.target
+    t_frames = target // hop
     ov_frames = cfg.wavernn_gen.overlap // hop
     all_folds = []
     n_folds = 0

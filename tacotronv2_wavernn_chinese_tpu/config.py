@@ -197,14 +197,15 @@ class WaveRNNGenConfig:
     """Batched-fold generation (reference wavernn_hparams.py:53-58)."""
 
     batched: bool = True
-    # samples per fold.  The reference ships 11000 (wavernn_hparams.py:55-57,
-    # tuned for small-batch CPU); this framework defaults to 33000 because on
-    # TPU the resulting 128-frame folds align exactly with the fused kernel's
-    # 32-frame conditioning chunks and cut the crossfade-overlap recompute
-    # from 10% to 3.2% (fold-length sweep on v5e: 596x -> 666x realtime).
-    # The overlap — and therefore audio quality — is unaffected; set 11000
-    # for reference-exact fold geometry.
-    target: int = 33000
+    # samples per fold (reference default, wavernn_hparams.py:55-57).  Folds
+    # generate in parallel on the batch axis, so per-utterance LATENCY scales
+    # with fold length — the small reference value is the right default for
+    # the interactive paths (synthesizer, serving, CLI).  For bulk THROUGHPUT
+    # on long utterances, longer folds amortize the 550-sample crossfade
+    # overlap recompute (10% at 11000 vs 3.2% at 33000); a v5e fold-length
+    # sweep measured 596x (11000) -> 666x (33000) realtime on the fused
+    # kernel, and bench.py uses 33000 explicitly for that reason.
+    target: int = 11000
     overlap: int = 550  # crossfade overlap
     use_pallas: bool = True
 
