@@ -136,10 +136,14 @@ class TacotronTrainConfig:
     teacher_forcing_mode: str = "constant"  # constant | scheduled
     teacher_forcing_ratio: float = 1.0
     teacher_forcing_init_ratio: float = 1.0
-    teacher_forcing_final_ratio: float = 0.0
-    teacher_forcing_start_decay: int = 10000
-    teacher_forcing_decay_steps: int = 280000
-    teacher_forcing_decay_alpha: float = 0.0
+    # final ratio and decay alpha are ONE knob, reference-style: the cosine
+    # floor is final/init when final_ratio is set, else decay_alpha
+    # (tf.train.cosine_decay alpha; reference hparams 227-233: final 0.3,
+    # start 70k, steps 150k, alpha None)
+    teacher_forcing_final_ratio: float | None = 0.3
+    teacher_forcing_start_decay: int = 70000
+    teacher_forcing_decay_steps: int = 150000
+    teacher_forcing_decay_alpha: float | None = None
     mask_decoder: bool = False
     stop_pos_weight: float = 20.0  # cross_entropy_pos_weight
     fine_tune: bool = False  # freeze embedding+encoder (reference tacotron.py:167-169)

@@ -197,14 +197,9 @@ class MelPipeline:
 
     def __init__(self, cfg: AudioConfig):
         self.cfg = cfg
-        self._mel_w = jnp.asarray(
-            mel_basis(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax)
-        )
-        self._inv_mel_w = jnp.asarray(
-            np.linalg.pinv(
-                mel_basis(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax)
-            )
-        )
+        w = mel_basis(cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.fmin, cfg.fmax)
+        self._mel_w = jnp.asarray(w)
+        self._inv_mel_w = jnp.asarray(np.linalg.pinv(w))
 
     def stft_mag(self, wav: jax.Array) -> jax.Array:
         c = self.cfg

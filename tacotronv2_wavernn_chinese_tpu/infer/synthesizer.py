@@ -47,11 +47,15 @@ class Synthesizer:
         params: Any,
         vocoder_params: Any | None = None,
         max_iters: int | None = None,
+        symbols: Any | None = None,
     ):
         self.cfg = cfg
         self.params = params
         self.vocoder_params = vocoder_params
-        self.symbols = default_symbols()
+        # ``symbols`` lets a serving artifact pin its own frozen vocabulary
+        # (serving/export.py copies symbols.txt precisely so checkpoints
+        # never depend on the installed package's table).
+        self.symbols = symbols if symbols is not None else default_symbols()
         self.pipe = S.MelPipeline(cfg.audio)
         self.max_iters = max_iters or cfg.tacotron.max_iters
         mcfg, mi = cfg.tacotron, self.max_iters

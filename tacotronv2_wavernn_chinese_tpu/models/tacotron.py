@@ -534,11 +534,18 @@ def l2_regularizables(params: Params) -> jax.Array:
             if path[0] in skip_top:
                 return
             name = path[-1]
-            # biases and BN stats are never regularized; 'v' is the attention
-            # projection vector (treated as projection, reference comment)
-            if name in ("b", "bias", "scale", "mean", "var", "v", "bi", "bh"):
+            if "bn" in path:
+                # batch-norm gamma/beta (our 'scale'/'bias') ARE regularized
+                # by the reference — their TF names gamma/beta match none of
+                # its exclusion substrings and they are trainable; only the
+                # moving stats (not trainable) are excluded
+                if name in ("mean", "var"):
+                    return
+            elif name in ("b", "bias", "v", "bi", "bh"):
+                # biases are never regularized; 'v' is the attention
+                # projection vector (treated as projection, reference comment)
                 return
-            if any("gru" in comp for comp in path):  # recurrent kernels
+            elif any("gru" in comp for comp in path):  # recurrent kernels
                 return
             total = total + 0.5 * jnp.sum(tree**2)
 

@@ -85,7 +85,10 @@ def _config_from_dict(d: dict) -> Config:
 
 
 def load_exported(path: str, max_iters: int | None = None):
-    """Artifact dir -> ready Synthesizer."""
+    """Artifact dir -> ready Synthesizer (vocabulary pinned to the
+    artifact's symbols.txt, NOT the installed package's table — the
+    embedding rows must match the table the checkpoint was trained with)."""
+    from ..frontend.symbols import SymbolTable
     from ..infer.synthesizer import Synthesizer
 
     with open(os.path.join(path, "config.json"), encoding="utf-8") as f:
@@ -95,7 +98,11 @@ def load_exported(path: str, max_iters: int | None = None):
     wav_path = os.path.join(path, "wavernn_params.npz")
     if os.path.exists(wav_path):
         voc = load_params_npz(wav_path)
-    return Synthesizer(cfg, params, vocoder_params=voc, max_iters=max_iters)
+    with open(os.path.join(path, "symbols.txt"), encoding="utf-8") as f:
+        symbols = SymbolTable([line.rstrip("\n") for line in f if line.rstrip("\n")])
+    return Synthesizer(
+        cfg, params, vocoder_params=voc, max_iters=max_iters, symbols=symbols
+    )
 
 
 def main() -> None:

@@ -46,6 +46,15 @@ def teacher_forcing_schedule(cfg: Config, step):
     tc = cfg.tacotron_train
     if tc.teacher_forcing_mode == "constant":
         return jnp.asarray(tc.teacher_forcing_ratio, jnp.float32)
+    # one decay floor, reference-style: alpha = final/init when final_ratio
+    # is set, else the explicit cosine-decay alpha
+    if tc.teacher_forcing_final_ratio is not None:
+        alpha = float(tc.teacher_forcing_final_ratio) / float(tc.teacher_forcing_init_ratio)
+    else:
+        assert tc.teacher_forcing_decay_alpha is not None, (
+            "scheduled teacher forcing needs final_ratio or decay_alpha"
+        )
+        alpha = float(tc.teacher_forcing_decay_alpha)
     t = jnp.clip(
         step.astype(jnp.float32) - tc.teacher_forcing_start_decay,
         0.0,
@@ -53,11 +62,8 @@ def teacher_forcing_schedule(cfg: Config, step):
     )
     frac = t / tc.teacher_forcing_decay_steps
     cosine = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
-    decayed = (1.0 - tc.teacher_forcing_decay_alpha) * cosine + tc.teacher_forcing_decay_alpha
-    ratio = tc.teacher_forcing_final_ratio + (
-        tc.teacher_forcing_init_ratio - tc.teacher_forcing_final_ratio
-    ) * decayed
-    return ratio
+    decayed = (1.0 - alpha) * cosine + alpha
+    return tc.teacher_forcing_init_ratio * decayed
 
 
 def _frozen_mask(params: Any) -> Any:
@@ -71,11 +77,50 @@ def _frozen_mask(params: Any) -> Any:
     return {k: mask_for(k, v) for k, v in params.items()}
 
 
+def tf1_adam(learning_rate, b1: float, b2: float, eps: float) -> optax.GradientTransformation:
+    """Adam with TF-1.x epsilon semantics (tf.train.AdamOptimizer, the
+    reference optimizer, tacotron.py:303-306).
+
+    TF1 computes ``update = lr * sqrt(1-b2^t)/(1-b1^t) * m / (sqrt(v)+eps)``
+    — epsilon is added to the UNcorrected second-moment root.  optax.adam
+    adds it after bias correction (``m_hat/(sqrt(v_hat)+eps)``), which makes
+    the effective epsilon ~sqrt(1-b2^t) smaller early in training (~32x at
+    step 1 for b2=0.999) and diverges from the reference trajectory.
+    """
+
+    def init(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32), mu=zeros(), nu=zeros()
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, grads
+        )
+        c = count.astype(jnp.float32)
+        lr_factor = jnp.sqrt(1.0 - b2**c) / (1.0 - b1**c)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: lr_factor * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.chain(
+        optax.GradientTransformation(init, update),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 def make_optimizer(cfg: Config, params: Any) -> optax.GradientTransformation:
     tc = cfg.tacotron_train
     opt = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip_norm),
-        optax.adam(lr_schedule(cfg), b1=tc.adam_beta1, b2=tc.adam_beta2, eps=tc.adam_eps),
+        tf1_adam(lr_schedule(cfg), b1=tc.adam_beta1, b2=tc.adam_beta2, eps=tc.adam_eps),
     )
     if tc.fine_tune:
         opt = optax.chain(opt, optax.masked(optax.set_to_zero(), _frozen_mask(params)))

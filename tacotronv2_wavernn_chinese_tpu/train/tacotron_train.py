@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import time
 
@@ -87,7 +88,7 @@ def run_training(
     time_win, loss_win = infolog.ValueWindow(100), infolog.ValueWindow(100)
     step = int(state.step)
     epoch = 0
-    ctx = mesh if mesh is not None else _nullcontext()
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         while step < total_steps:
             for batch in dataset.batches(epoch_seed=tc.data_seed + epoch):
@@ -159,14 +160,6 @@ def _dump_embedding(params, eval_dir, log):
         )
     except Exception as e:
         log(f"embedding dump failed: {e}")
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 def main() -> None:

@@ -125,6 +125,44 @@ def test_lr_schedule():
     assert float(lr(jnp.asarray(10_000_000))) == pytest.approx(1e-5)
 
 
+def test_tf1_adam_matches_tf_semantics():
+    """tf1_adam must reproduce tf.train.AdamOptimizer exactly:
+    update = lr*sqrt(1-b2^t)/(1-b1^t) * m/(sqrt(v)+eps), eps OUTSIDE the
+    bias correction (unlike optax.adam / torch)."""
+    import optax
+
+    b1, b2, eps, lr = 0.9, 0.999, 1e-6, 1e-3
+    opt = task.tf1_adam(lr, b1=b1, b2=b2, eps=eps)
+    params = {"w": jnp.asarray([1.0, -2.0, 3.0])}
+    state = opt.init(params)
+
+    rng = np.random.RandomState(0)
+    m = np.zeros(3)
+    v = np.zeros(3)
+    theta = np.asarray([1.0, -2.0, 3.0])
+    for t in range(1, 6):
+        g = rng.randn(3).astype(np.float32)
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        # numpy TF1 reference
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        lr_t = lr * np.sqrt(1 - b2**t) / (1 - b1**t)
+        theta = theta - lr_t * m / (np.sqrt(v) + eps)
+        np.testing.assert_allclose(np.asarray(params["w"]), theta, rtol=1e-6)
+
+    # and it differs from optax.adam at step 1 (the eps placement matters
+    # when v is tiny): gradient ~eps-scale makes the difference visible
+    opt2 = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+    s2 = opt2.init({"w": jnp.asarray([0.0])})
+    u_optax, _ = opt2.update({"w": jnp.asarray([1e-4])}, s2, {"w": jnp.asarray([0.0])})
+    s1 = task.tf1_adam(lr, b1=b1, b2=b2, eps=eps).init({"w": jnp.asarray([0.0])})
+    u_tf1, _ = task.tf1_adam(lr, b1=b1, b2=b2, eps=eps).update(
+        {"w": jnp.asarray([1e-4])}, s1, {"w": jnp.asarray([0.0])}
+    )
+    assert not np.allclose(np.asarray(u_optax["w"]), np.asarray(u_tf1["w"]), rtol=1e-3)
+
+
 def test_finetune_freezes_encoder(training_data):
     cfg = CFG.override("tacotron_train.fine_tune=true")
     ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), cfg)

@@ -53,6 +53,24 @@ def test_export_roundtrip(tmp_path):
     )
 
 
+def test_export_pins_artifact_vocabulary(tmp_path):
+    """The loaded Synthesizer must use the artifact's symbols.txt, not the
+    installed package's default table (checkpoint <-> vocab pinning)."""
+    cfg = tiny_cfg()
+    params = T.init_tacotron(jax.random.PRNGKey(0), cfg.tacotron)
+    out = export_artifact(cfg, params, str(tmp_path / "export"))
+    # simulate an artifact from an older package whose table had extra rows
+    with open(os.path.join(out, "symbols.txt"), encoding="utf-8") as f:
+        symbols = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+    symbols.append("zz9")
+    with open(os.path.join(out, "symbols.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(symbols) + "\n")
+
+    synth = load_exported(out, max_iters=20)
+    assert len(synth.symbols) == len(symbols)
+    assert synth.symbols.encode(["zz9"], append_eos=False) == [len(symbols) - 1]
+
+
 def test_config_from_dict_tuple_coercion():
     cfg = tiny_cfg()
     d = cfg.to_dict()

@@ -1,9 +1,11 @@
 """Checkpoint tooling + metrics writer tests."""
 
 import json
+import os
 
 import jax
 import numpy as np
+import pytest
 
 from tacotronv2_wavernn_chinese_tpu.config import default_config
 from tacotronv2_wavernn_chinese_tpu.models import tacotron as T
@@ -11,8 +13,33 @@ from tacotronv2_wavernn_chinese_tpu.utils.metrics import MetricsWriter, read_sca
 from tools.import_tf_checkpoint import (
     _get_path,
     import_checkpoint,
+    read_index_keys,
     tf_name_map,
 )
+
+REF_INDEX = (
+    "/root/reference/logs-Tacotron-2/taco_pretrained/"
+    "tacotron_model.ckpt-206500.index"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_INDEX), reason="reference mount absent")
+def test_tf_name_map_matches_reference_checkpoint_index():
+    """Golden parity: the importer's TF-name mapping must EXACTLY equal the
+    variable set of the shipped reference checkpoint (ckpt-206500 .index —
+    parseable without tensorflow or the .data blob).  Catches silent scope
+    mismatches (e.g. decoder_prenet vs prenet, memory_layer living outside
+    the decoder scope) that import_checkpoint only warns about."""
+    keys = {
+        k
+        for k in read_index_keys(REF_INDEX)
+        if "optimizer" not in k and "Adam" not in k and k != "global_step"
+    }
+    mapped = set(tf_name_map(default_config()))
+    assert mapped == keys, (
+        f"mapped-but-absent: {sorted(mapped - keys)[:5]}; "
+        f"in-ckpt-unmapped: {sorted(keys - mapped)[:5]}"
+    )
 
 
 def test_tf_name_map_covers_all_trainable_leaves():

@@ -2,6 +2,7 @@
 mesh-sharded fold generation."""
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -154,6 +155,7 @@ def test_teacher_forcing_schedule():
 
     cfg = default_config()
     assert float(teacher_forcing_schedule(cfg, jnp.asarray(0))) == 1.0
+    # final-ratio mode (reference default final=0.3: decay floor = final/init)
     sched = cfg.override(
         "tacotron_train.teacher_forcing_mode=scheduled,"
         "tacotron_train.teacher_forcing_start_decay=100,"
@@ -163,8 +165,27 @@ def test_teacher_forcing_schedule():
     r_mid = float(teacher_forcing_schedule(sched, jnp.asarray(600)))
     r_end = float(teacher_forcing_schedule(sched, jnp.asarray(5000)))
     assert r0 == pytest.approx(1.0)
-    assert 0.0 < r_mid < 1.0
-    assert r_end == pytest.approx(0.0, abs=1e-6)
+    assert 0.3 < r_mid < 1.0
+    assert r_end == pytest.approx(0.3, abs=1e-6)
+    # tf.train.cosine_decay closed form at the midpoint of the decay window
+    frac = 0.5
+    expect_mid = 1.0 * ((1 - 0.3) * 0.5 * (1 + math.cos(math.pi * frac)) + 0.3)
+    assert float(teacher_forcing_schedule(sched, jnp.asarray(600))) == pytest.approx(
+        expect_mid, abs=1e-6
+    )
+    # alpha mode (final_ratio=None + decay_alpha: floor = alpha * init)
+    alpha_cfg = dataclasses.replace(
+        sched,
+        tacotron_train=dataclasses.replace(
+            sched.tacotron_train,
+            teacher_forcing_final_ratio=None,
+            teacher_forcing_decay_alpha=0.25,
+            teacher_forcing_init_ratio=0.8,
+        ),
+    )
+    assert float(teacher_forcing_schedule(alpha_cfg, jnp.asarray(5000))) == pytest.approx(
+        0.8 * 0.25, abs=1e-6
+    )
 
 
 def test_scheduled_sampling_changes_decode():

@@ -60,9 +60,10 @@ def tf_name_map(cfg) -> Dict[str, Tuple[Tuple, Callable]]:
         s = f"{P}/encoder_LSTM/bidirectional_rnn/{d}/encoder_{d}_LSTM"
         m[f"{s}/kernel"] = ((ours, "w"), ident)
         m[f"{s}/bias"] = ((ours, "b"), ident)
-    # prenet (modules.py:220-251: dense_1, dense_2)
+    # prenet (modules.py:220-251; tacotron.py:62 passes scope='decoder_prenet',
+    # and the scope opens at CALL time inside the decoder while_loop scope)
     for i in range(len(cfg.tacotron.prenet_layers)):
-        s = f"{P}/decoder/prenet/dense_{i+1}"
+        s = f"{P}/decoder/decoder_prenet/dense_{i+1}"
         m[f"{s}/kernel"] = (("prenet", "layers", i, "w"), ident)
         m[f"{s}/bias"] = (("prenet", "layers", i, "b"), ident)
     # decoder LSTMs (modules.py:254-284: decoder_LSTM scope, MultiRNNCell
@@ -71,9 +72,13 @@ def tf_name_map(cfg) -> Dict[str, Tuple[Tuple, Callable]]:
         s = f"{P}/decoder/decoder_LSTM/multi_rnn_cell/cell_{i}/decoder_LSTM_{i+1}"
         m[f"{s}/kernel"] = ((ours, "w"), ident)
         m[f"{s}/bias"] = ((ours, "b"), ident)
-    # attention (tacotron.py:60-70 + tf BahdanauAttention internals)
+    # attention (tacotron.py:60-70 + tf BahdanauAttention internals).
+    # memory_layer is applied to the encoder memory at mechanism CONSTRUCTION
+    # (_BaseAttentionMechanism.__init__), i.e. outside the decoder scope —
+    # its variable lives at {P}/memory_layer; query/location layers build
+    # lazily at the first __call__ inside decoder/Location_Sensitive_Attention.
     a = f"{P}/decoder"
-    m[f"{a}/memory_layer/kernel"] = (("attention", "memory_layer", "w"), ident)
+    m[f"{P}/memory_layer/kernel"] = (("attention", "memory_layer", "w"), ident)
     m[f"{a}/Location_Sensitive_Attention/query_layer/kernel"] = (
         ("attention", "query_layer", "w"), ident)
     m[f"{a}/Location_Sensitive_Attention/location_features_convolution/kernel"] = (
@@ -114,6 +119,66 @@ def tf_name_map(cfg) -> Dict[str, Tuple[Tuple, Callable]]:
     m[f"{P}/postnet_projection/projection_postnet_projection/bias"] = (
         ("postnet_projection", "b"), ident)
     return m
+
+
+def _varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _block_entries(block: bytes):
+    """Decode one leveldb-format block: prefix-compressed (key, value) pairs."""
+    import struct
+
+    n_restarts = struct.unpack("<I", block[-4:])[0]
+    data_end = len(block) - 4 - 4 * n_restarts
+    pos, key, out = 0, b"", []
+    while pos < data_end:
+        shared, pos = _varint(block, pos)
+        unshared, pos = _varint(block, pos)
+        vlen, pos = _varint(block, pos)
+        key = key[:shared] + block[pos : pos + unshared]
+        pos += unshared
+        out.append((key, block[pos : pos + vlen]))
+        pos += vlen
+    return out
+
+
+def read_index_keys(path: str) -> list[str]:
+    """Variable names from a TF tensor-bundle ``.index`` file (an SSTable).
+
+    Dependency-free: parses the leveldb table footer -> index block -> data
+    blocks.  Lets the name mapping be validated against a reference
+    checkpoint even when the .data blob (and tensorflow itself) is absent.
+    """
+    data = open(path, "rb").read()
+    magic = bytes([0x57, 0xFB, 0x80, 0x8B, 0x24, 0x75, 0x47, 0xDB])
+    if data[-8:] != magic:
+        raise ValueError(f"{path}: not an SSTable (bad footer magic)")
+    pos = len(data) - 48
+    _, pos = _varint(data, pos)  # metaindex offset
+    _, pos = _varint(data, pos)  # metaindex size
+    ioff, pos = _varint(data, pos)  # index block offset
+    isize, pos = _varint(data, pos)  # index block size
+
+    def block(off: int, size: int) -> bytes:
+        ctype = data[off + size]  # 1-byte compression tag after the block
+        if ctype != 0:
+            raise ValueError(f"compressed SSTable block (type {ctype}) unsupported")
+        return data[off : off + size]
+
+    keys: list[str] = []
+    for _, handle in _block_entries(block(ioff, isize)):
+        off, p = _varint(handle, 0)
+        size, _ = _varint(handle, p)
+        keys.extend(k.decode("utf-8") for k, _ in _block_entries(block(off, size)))
+    return [k for k in keys if k]
 
 
 def _set_path(tree, path, value):
@@ -186,15 +251,42 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=None, help="TF checkpoint prefix")
     ap.add_argument("--npz", default=None, help=".npz export of the TF checkpoint")
-    ap.add_argument("--out", required=True, help="output params .npz")
+    ap.add_argument("--out", default=None, help="output params .npz")
+    ap.add_argument(
+        "--validate-index",
+        default=None,
+        help="path to a TF .index file: check the name mapping against its "
+        "key set and exit (works without the .data blob or tensorflow)",
+    )
     ap.add_argument("--override", default="")
     args = ap.parse_args()
-    if not args.ckpt and not args.npz:
-        ap.error("one of --ckpt / --npz is required")
 
     cfg = default_config()
     if args.override:
         cfg = cfg.override(args.override)
+
+    if args.validate_index:
+        keys = {
+            k
+            for k in read_index_keys(args.validate_index)
+            if "optimizer" not in k and "Adam" not in k and k != "global_step"
+        }
+        mapped = set(tf_name_map(cfg))
+        missing = sorted(mapped - keys)
+        extra = sorted(keys - mapped)
+        for n in missing:
+            print(f"MAPPED BUT ABSENT: {n}")
+        for n in extra:
+            print(f"IN CKPT, UNMAPPED: {n}")
+        if missing or extra:
+            raise SystemExit(1)
+        print(f"mapping OK: all {len(mapped)} names match {args.validate_index}")
+        return
+
+    if not args.ckpt and not args.npz:
+        ap.error("one of --ckpt / --npz is required")
+    if not args.out:
+        ap.error("--out is required")
     tf_vars = load_tf_variables(args.ckpt, args.npz)
     params, unmatched, missing = import_checkpoint(cfg, tf_vars)
     if missing:
