@@ -72,8 +72,13 @@ struct Loader {
     while (!stop.load(std::memory_order_relaxed)) {
       for (int b = 0; b < batch; ++b) {
         const Utt& u = utts[rng() % utts.size()];
-        // random window start (mel frame), >= pad frames in
+        // random window start (mel frame), >= pad frames in; bounded by BOTH
+        // the mel length and the label stream (s[t+1] below reads up to
+        // start*hop + seq_len, which must stay inside this utterance's
+        // label slice even when labels are shorter than the mel implies)
         int64_t max_start = u.mel_frames - mel_win;
+        int64_t lab_max = (u.label_len - 1 - seq_len) / hop;
+        if (lab_max < max_start) max_start = lab_max;
         int64_t start = pad + (max_start > pad ? (int64_t)(rng() % (max_start - pad + 1)) : 0);
         const float* msrc = mels + (u.mel_off + start - pad) * n_mels;
         std::memcpy(&m[(size_t)b * mel_win * n_mels], msrc,
@@ -139,10 +144,14 @@ void* vl_create(const int16_t* labels, const float* mels,
 int vl_num_utts(void* h) { return (int)((Loader*)h)->utts.size(); }
 
 // Blocking: copies the next prefetched batch into caller buffers.
-void vl_next_batch(void* h, float* x, int32_t* y, float* mels) {
+// Returns 1 on success, 0 if the loader was destroyed while waiting (the
+// wait predicate must observe `stop`, else a consumer blocked here during
+// vl_destroy re-sleeps on a condvar that is about to be deleted).
+int vl_next_batch(void* h, float* x, int32_t* y, float* mels) {
   auto* L = (Loader*)h;
   std::unique_lock<std::mutex> lk(L->mu);
-  L->cv_empty.wait(lk, [&] { return L->count > 0; });
+  L->cv_empty.wait(lk, [&] { return L->count > 0 || L->stop; });
+  if (L->count == 0) return 0;  // stopping and nothing buffered
   Batch& slot = L->ring[L->head];
   std::memcpy(x, slot.x.data(), slot.x.size() * sizeof(float));
   std::memcpy(y, slot.y.data(), slot.y.size() * sizeof(int32_t));
@@ -151,9 +160,15 @@ void vl_next_batch(void* h, float* x, int32_t* y, float* mels) {
   L->head = (L->head + 1) % L->ring.size();
   --L->count;
   L->cv_full.notify_one();
+  return 1;
 }
 
-void vl_destroy(void* h) {
+// Wake workers and any blocked consumers without freeing (consumers return
+// 0 from vl_next_batch once the ring drains). Callers that may have another
+// thread inside vl_next_batch must call this, wait for that thread to leave,
+// and only then vl_destroy — destroying while a consumer is blocked would
+// delete the mutex/condvar it sleeps on.
+void vl_request_stop(void* h) {
   auto* L = (Loader*)h;
   {
     std::lock_guard<std::mutex> lk(L->mu);
@@ -161,6 +176,11 @@ void vl_destroy(void* h) {
   }
   L->cv_full.notify_all();
   L->cv_empty.notify_all();
+}
+
+void vl_destroy(void* h) {
+  auto* L = (Loader*)h;
+  vl_request_stop(h);
   for (auto& t : L->workers) t.join();
   delete L;
 }

@@ -180,21 +180,34 @@ class VocoderDataset:
         starting at least ``pad`` frames in, take the matching
         ``seq_len + 1`` samples, and split into (x, y)."""
         hop = self.cfg.audio.hop_size
+        bits = self.cfg.audio.bits
         xs, ys, ms = [], [], []
         for i in row_indices:
             labels, mel = self.example(i)
-            max_start = mel.shape[0] - (self.seq_frames + 2 * self.pad)
+            # window start bounded by BOTH the mel and the label stream, so a
+            # labels file shorter than the mel implies never forces padding
+            max_start = min(
+                mel.shape[0] - (self.seq_frames + 2 * self.pad),
+                (len(labels) - self.seq_len - 1) // hop,
+            )
             start = rng.randint(self.pad, max(self.pad, max_start) + 1)
             m = mel[start - self.pad : start + self.seq_frames + self.pad]
+            if m.shape[0] < self.seq_frames + 2 * self.pad:
+                m = np.pad(m, ((0, self.seq_frames + 2 * self.pad - m.shape[0]), (0, 0)))
             # label window starts exactly at the center-frame boundary
             sig_start = start * hop
             sig = labels[sig_start : sig_start + self.seq_len + 1]
             if len(sig) < self.seq_len + 1:
-                sig = np.pad(sig, (0, self.seq_len + 1 - len(sig)))
+                # last-resort pad with mu-law SILENCE (mid class), not class 0
+                # which expands to a -1.0 full-scale burst
+                sig = np.pad(
+                    sig,
+                    (0, self.seq_len + 1 - len(sig)),
+                    constant_values=2 ** (bits - 1),
+                )
             xs.append(sig[:-1])
             ys.append(sig[1:])
             ms.append(m)
-        bits = self.cfg.audio.bits
         x = np.stack(xs).astype(np.float32)
         x = 2.0 * x / (2 ** bits - 1.0) - 1.0  # label_2_float (dsp.py:8-9)
         return VocoderBatch(x, np.stack(ys).astype(np.int32), np.stack(ms))

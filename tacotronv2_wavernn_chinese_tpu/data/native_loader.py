@@ -53,12 +53,14 @@ def _load_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint64,
     ]
+    lib.vl_next_batch.restype = ctypes.c_int  # 1 ok, 0 destroyed while waiting
     lib.vl_next_batch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
     ]
     lib.vl_num_utts.restype = ctypes.c_int
     lib.vl_num_utts.argtypes = [ctypes.c_void_p]
+    lib.vl_request_stop.argtypes = [ctypes.c_void_p]
     lib.vl_destroy.argtypes = [ctypes.c_void_p]
     lib.vl_preemphasis.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -130,6 +132,10 @@ class NativeVocoderLoader:
         offs = lambda x: np.asarray(x, np.int64)
         self._meta = tuple(map(offs, (label_offs, label_lens, mel_offs, mel_frames)))
 
+        import threading
+
+        # serializes C calls so close() can wait out an in-flight next_batch
+        self._call_lock = threading.Lock()
         self._h = lib.vl_create(
             _ptr(self._labels, ctypes.c_int16),
             _ptr(self._mels, ctypes.c_float),
@@ -149,9 +155,14 @@ class NativeVocoderLoader:
         x = np.empty((self.batch, self.seq_len), np.float32)
         y = np.empty((self.batch, self.seq_len), np.int32)
         m = np.empty((self.batch, self.mel_win, self.n_mels), np.float32)
-        self._lib.vl_next_batch(
-            self._h, _ptr(x, ctypes.c_float), _ptr(y, ctypes.c_int32), _ptr(m, ctypes.c_float)
-        )
+        with self._call_lock:
+            if not self._h:
+                raise RuntimeError("native loader closed")
+            ok = self._lib.vl_next_batch(
+                self._h, _ptr(x, ctypes.c_float), _ptr(y, ctypes.c_int32), _ptr(m, ctypes.c_float)
+            )
+        if not ok:
+            raise RuntimeError("native loader closed while waiting for a batch")
         return VocoderBatch(x, y, m)
 
     def __iter__(self) -> Iterator[VocoderBatch]:
@@ -159,9 +170,15 @@ class NativeVocoderLoader:
             yield self.next_batch()
 
     def close(self) -> None:
-        if getattr(self, "_h", None):
-            self._lib.vl_destroy(self._h)
+        h = getattr(self, "_h", None)
+        if not h:
+            return
+        # wake any consumer blocked inside vl_next_batch, wait for it to
+        # leave the C call (lock), then free — never delete under a sleeper
+        self._lib.vl_request_stop(h)
+        with self._call_lock:
             self._h = None
+        self._lib.vl_destroy(h)
 
     def __del__(self):  # pragma: no cover
         try:

@@ -75,28 +75,44 @@ def process_corpus(
     pipe = MelPipeline(a)
     utts = parse_biaobei(transcript_path, wav_dir)[shard_index::num_shards]
 
-    # host-side conditioning
-    conditioned = []
-    for u in utts:
+    def condition(u: Utterance):
+        """Host-side wav conditioning; None if the wav is missing."""
         try:
             wav = load_wav(u.wav_path, a.sample_rate)
         except FileNotFoundError:
-            log(f"missing wav {u.wav_path}, skipping")
-            continue
+            return None
         if a.trim_silence:
             wav = trim_silence(wav, a.trim_top_db, a.trim_fft_size, a.trim_hop_size)
         preem = preemphasis(wav, a.preemphasis, a.preemphasize).astype(np.float32)
         if a.rescale:
             wav = rescale(wav, a.rescaling_max)
             preem = rescale(preem, a.rescaling_max).astype(np.float32)
-        conditioned.append((u, wav.astype(np.float32), preem))
+        return wav.astype(np.float32), preem
 
-    # batched on-device mel extraction, bucketed by padded length
+    # pass 1: conditioned lengths only, so the full corpus shard is never
+    # resident — O(bucket_batch) audio in memory instead of ~2x corpus size
+    # (the reference streams one file per pool task, preprocessor.py:53-72)
+    lengths = []
+    for u in utts:
+        c = condition(u)
+        if c is None:
+            log(f"missing wav {u.wav_path}, skipping")
+            continue
+        lengths.append((len(c[1]), u))
+
+    # pass 2: batched on-device mel extraction, bucketed by padded length;
+    # each chunk re-conditions lazily (one-time CPU cost, constant memory)
     mel_fn = jax.jit(jax.vmap(pipe.melspectrogram))
     rows = []
-    conditioned.sort(key=lambda t: len(t[1]))
-    for start in range(0, len(conditioned), bucket_batch):
-        chunk = conditioned[start : start + bucket_batch]
+    lengths.sort(key=lambda t: t[0])
+    for start in range(0, len(lengths), bucket_batch):
+        chunk = [
+            (u, *c)
+            for _, u in lengths[start : start + bucket_batch]
+            if (c := condition(u)) is not None  # tolerate a wav vanishing mid-run
+        ]
+        if not chunk:
+            continue
         max_len = max(len(p) for _, _, p in chunk)
         # pad to a coarse bucket (64 hops ~ 0.8 s) so the jitted mel program
         # compiles for a handful of shapes instead of one per chunk; the

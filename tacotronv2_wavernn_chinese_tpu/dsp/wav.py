@@ -36,8 +36,10 @@ def load_wav(path: str, sr: int) -> np.ndarray:
     return wav
 
 
-def save_wav(wav: np.ndarray, path: str, sr: int) -> None:
-    """DC-notch + 0.95-power compression + int16 write (reference audio.py:25-34)."""
+def postprocess_wav_int16(wav: np.ndarray) -> np.ndarray:
+    """DC-notch + peak normalize + 0.95-power compression + full-scale int16
+    (reference audio.py:16-28 ``save_wav``; the serving path runs the same
+    chain before the WAV container, website/app/views.py:81-88)."""
     wav = np.asarray(wav, dtype=np.float64)
     wav = dc_notch_filter(wav)
     wav = wav / max(1e-8, np.abs(wav).max()) * 0.999
@@ -45,7 +47,12 @@ def save_wav(wav: np.ndarray, path: str, sr: int) -> None:
     f2 = np.sign(wav) * np.power(np.abs(wav), 0.95)
     wav = f1 * f2
     wav *= 32767 / max(0.01, np.max(np.abs(wav)))
-    wavfile.write(path, sr, wav.astype(np.int16))
+    return wav.astype(np.int16)
+
+
+def save_wav(wav: np.ndarray, path: str, sr: int) -> None:
+    """DC-notch + 0.95-power compression + int16 write (reference audio.py:25-34)."""
+    wavfile.write(path, sr, postprocess_wav_int16(wav))
 
 
 def dc_notch_filter(wav: np.ndarray) -> np.ndarray:

@@ -132,7 +132,8 @@ class Synthesizer:
         for i in range(B):
             n = int(stop_len[i])
             mels.append(np.asarray(out.mel_outputs[i])[:n])
-            aligns.append(np.asarray(out.alignments[i])[: n // self.cfg.tacotron.outputs_per_step, : lens[i]])
+            r = self.cfg.tacotron.outputs_per_step
+            aligns.append(np.asarray(out.alignments[i])[: -(-n // r), : lens[i]])
             stops.append(n)
         return mels, aligns, stops
 

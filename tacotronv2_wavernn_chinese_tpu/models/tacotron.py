@@ -278,7 +278,7 @@ def decode_autoregressive(
     carry0 = init_decoder_carry(cfg, B, T_in, V)
     prev0 = jnp.zeros((B, M))
     finished0 = jnp.zeros((B,), bool)
-    stop_len0 = jnp.full((B,), T, jnp.int32)
+    stop_len0 = jnp.full((B,), T * r, jnp.int32)  # frames, not steps
 
     def cond(loop):
         t, _, _, _, _, _, finished, _ = loop
@@ -301,7 +301,10 @@ def decode_autoregressive(
         else:
             ex_done = jnp.all(finished_frames, axis=-1)
         newly = ex_done & ~finished
-        stop_len = jnp.where(newly, t + 1, stop_len)
+        # frame-exact trim length, EXCLUSIVE of the first flagged frame
+        # (reference tacotron_synthesize.py:105: stop_token.index(1))
+        first_in_group = jnp.argmax(finished_frames, axis=-1)
+        stop_len = jnp.where(newly, t * r + first_in_group, stop_len)
         finished = finished | ex_done
         prev = frames[:, -M:]  # feed last predicted frame
         return (t + 1, carry, prev, fb, sb, ab, finished, stop_len)
@@ -312,7 +315,7 @@ def decode_autoregressive(
     frames = jnp.swapaxes(fb, 0, 1).reshape(B, T * r, M)
     stops = jnp.swapaxes(sb, 0, 1).reshape(B, T * r)
     aligns = jnp.swapaxes(ab, 0, 1)
-    return frames, stops, aligns, stop_len * r
+    return frames, stops, aligns, stop_len
 
 
 # ---------------------------------------------------------------------------

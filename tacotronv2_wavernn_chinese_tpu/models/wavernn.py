@@ -373,8 +373,9 @@ def fold_with_overlap(x: np.ndarray, target: int, overlap: int) -> Tuple[np.ndar
 def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
     """Equal-power crossfade of folds [n, target+2*ov] -> [T]
     (reference fatchord_version.py:342-405): each fold gets ``overlap/2``
-    silence then a sqrt fade-in over the other half, and a full-length sqrt
-    fade-out; overlapping regions are summed."""
+    silence then a sqrt fade-in over the other half; each tail keeps unit
+    gain through the next fold's silent warmup then sqrt-fades out, so the
+    summed gains stay ~1 across every boundary."""
     num_folds, length = y.shape
     target = length - 2 * overlap
     silence_len = overlap // 2
@@ -385,7 +386,7 @@ def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
     fade_out = np.sqrt(0.5 * (1.0 - t))
 
     fin = np.concatenate([np.zeros(silence_len), fade_in])  # [overlap]
-    fout = np.concatenate([fade_out, np.zeros(silence_len)])  # [overlap]
+    fout = np.concatenate([np.ones(silence_len), fade_out])  # [overlap]
 
     y = y.astype(np.float64).copy()
     if overlap:

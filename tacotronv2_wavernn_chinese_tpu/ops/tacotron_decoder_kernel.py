@@ -414,8 +414,9 @@ def decode_autoregressive_pallas(
     aligns = jnp.swapaxes(aligns[:max_iters], 0, 1)  # [B, T, T_in]
 
     finished = jax.nn.sigmoid(stops) > 0.5
-    # first True index (or max_iters) — same rule as decode_autoregressive
+    # first True index (or max_iters), EXCLUSIVE of the flagged frame — same
+    # rule as decode_autoregressive (reference tacotron_synthesize.py:105)
     idx = jnp.argmax(finished, axis=-1)
     any_f = jnp.any(finished, axis=-1)
-    stop_len = jnp.where(any_f, idx + 1, max_iters).astype(jnp.int32)
+    stop_len = jnp.where(any_f, idx, max_iters).astype(jnp.int32)
     return frames, stops, aligns, stop_len

@@ -3,15 +3,17 @@
 Replaces the reference's three-process serving stack (Flask app -> gRPC ->
 TF Serving Docker, website/app/views.py:25-105 + tacotron_model_export.py)
 with one process: the jitted inference function *is* the model server on
-TPU, so the HTTP handler calls it directly.  The wire contract matches the
-reference's ``POST /generate_tts``: JSON in ``{"text": ...}``, JSON out with
-base64 WAV audio and a base64 PNG alignment plot.
+TPU, so the HTTP handler calls it directly.  ``POST /generate_tts`` is
+drop-in for reference clients (form-encoded ``txt`` in, ``{txt, pyin,
+wav, img}`` data-URI fields out, views.py:56-105) and also speaks a JSON
+dialect with explicit status/duration fields.
 
 Endpoints:
   GET  /            demo page (reference website/app/templates/index.html)
   GET  /healthz     liveness + model info
-  POST /generate_tts  {"text": str, "seed"?: int} ->
-      {"status": 0, "pyin": str, "duration_s": float,
+  POST /generate_tts  form ``txt=...`` or JSON {"text": str, "seed"?: int} ->
+      {"status": 0, "txt": str, "pyin": str, "duration_s": float,
+       "wav": "data:audio/wav;base64, ...", "img": "data:image/png;base64, ...",
        "wav_b64": str (WAV container), "align_b64": str (PNG)}
 
 Usage:
@@ -60,12 +62,17 @@ async function go(){
 
 
 def wav_to_base64(wav: np.ndarray, sample_rate: int) -> str:
-    """float waveform [-1,1] -> base64 of an int16 WAV container
-    (reference website/app/audio.py:16 save_wav-to-buffer + views.py:88)."""
-    peak = float(np.abs(wav).max()) if wav.size else 0.0
-    if peak > 1.0:  # Griffin-Lim output routinely exceeds unit range
-        wav = wav / peak * 0.999
-    pcm = (np.clip(wav, -1.0, 1.0) * 32767).astype("<i2")
+    """float waveform -> base64 of an int16 WAV container, after the
+    reference's full save_wav post chain (dc-notch, peak normalize,
+    0.95-power companding, full-scale int16 — website/app/audio.py:16
+    ``save_wav`` run by views.py:81 before the container) so served audio
+    matches the files the same request writes to disk."""
+    from ..dsp.wav import postprocess_wav_int16
+
+    if wav.size:
+        pcm = postprocess_wav_int16(wav).astype("<i2")
+    else:
+        pcm = np.zeros(0, "<i2")
     buf = io.BytesIO()
     with wave_mod.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -104,13 +111,19 @@ class TTSService:
             mel, align, pyin = self.synth.text_to_mel(text, seed=seed)
             wav = self.synth.mel_to_wav(mel, seed=seed)
             self.n_requests += 1
+        wav_b64 = wav_to_base64(wav, self.cfg.audio.sample_rate)
+        align_b64 = alignment_to_base64_png(align)
         return {
             "status": 0,
             "pyin": pyin,
             "duration_s": float(len(wav) / self.cfg.audio.sample_rate),
             "synthesis_s": round(time.time() - t0, 3),
-            "wav_b64": wav_to_base64(wav, self.cfg.audio.sample_rate),
-            "align_b64": alignment_to_base64_png(align),
+            "wav_b64": wav_b64,
+            "align_b64": align_b64,
+            # reference wire fields (views.py:94-103): data-URI wav/img + txt
+            "txt": text,
+            "wav": "data:audio/wav;base64, %s" % wav_b64,
+            "img": "data:image/png;base64, %s" % align_b64,
         }
 
     def generate_many(self, texts: list[str], seed: int = 0) -> dict:
@@ -173,7 +186,16 @@ def make_handler(service: TTSService):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                body = self.rfile.read(n) or b"{}"
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if ctype == "application/x-www-form-urlencoded":
+                    # reference client contract: form field `txt` (views.py:56)
+                    from urllib.parse import parse_qs
+
+                    form = parse_qs(body.decode("utf-8"))
+                    req = {"text": (form.get("txt") or form.get("text") or [""])[0]}
+                else:
+                    req = json.loads(body)
                 if self.path == "/generate_tts_batch":
                     texts = [str(t).strip() for t in (req.get("texts") or [])]
                     texts = [t for t in texts if t]

@@ -78,6 +78,76 @@ def test_short_utterances_filtered(corpus):
         ldr.close()
 
 
+def test_label_stream_shorter_than_mel_stays_in_bounds(tmp_path):
+    # A truncated wav .npy (labels shorter than the mel implies) must clamp
+    # the window start to the label slice — never read the next utterance's
+    # labels or run off the heap (regression: start was sampled from
+    # mel_frames only). Labels are strictly increasing per-utterance ramps,
+    # so any cross-utterance or OOB read shows up as an out-of-range value.
+    cfg = cfg_small()
+    hop = cfg.audio.hop_size
+    rows = []
+    full = 40 * hop
+    short = 20 * hop  # half the samples the 40-frame mel implies
+    for i, n in enumerate([short, full]):
+        lab = (np.arange(n) % 900 + (i + 1) * 50).astype(np.int16) % 1024
+        np.save(tmp_path / f"wav-{i}.npy", lab)
+        mel = np.random.RandomState(i).rand(40, 80).astype(np.float32)
+        np.save(tmp_path / f"gt-{i}.npy", mel)
+        rows.append([f"wav-{i}.npy", f"gt-{i}.npy", f"gt-{i}.npy", "t"])
+    ldr = NL.NativeVocoderLoader(rows, str(tmp_path), cfg, n_workers=2, ring_size=4)
+    try:
+        assert ldr.num_utts == 2
+        seq_len = cfg.wavernn_train.seq_len_hops * hop
+        for _ in range(16):
+            b = ldr.next_batch()
+            # max legal label index for the SHORT utterance is short-1; both
+            # utterances' windows must satisfy their own label_len bound
+            assert b.y.max() < 1024 and b.y.min() >= 0
+            assert b.y.shape == (4, seq_len)
+    finally:
+        ldr.close()
+
+
+def test_destroy_while_consumer_blocked():
+    # vl_next_batch must wake and return 0 when the loader is destroyed
+    # underneath it (regression: predicate ignored `stop` -> UAF/hang)
+    import threading
+    import time
+
+    cfg = cfg_small()
+    # starve the ring: 1 worker, tiny ring, consumer drains faster than
+    # batches appear isn't guaranteed, so use a big batch count instead
+    rng = np.random.RandomState(0)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        lab = rng.randint(0, 1024, 40 * 275).astype(np.int16)
+        mel = rng.rand(40, 80).astype(np.float32)
+        np.save(os.path.join(td, "w.npy"), lab)
+        np.save(os.path.join(td, "m.npy"), mel)
+        rows = [["w.npy", "m.npy", "m.npy", "t"]]
+        ldr = NL.NativeVocoderLoader(rows, td, cfg, n_workers=1, ring_size=2)
+        errors = []
+
+        def consume():
+            try:
+                while True:
+                    ldr.next_batch()
+            except RuntimeError:
+                pass  # expected: loader closed
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        t = threading.Thread(target=consume)
+        t.start()
+        time.sleep(0.2)
+        ldr.close()
+        t.join(timeout=10)
+        assert not t.is_alive(), "consumer hung after vl_destroy"
+        assert not errors
+
+
 def test_preemphasis_parity():
     x = np.random.RandomState(0).uniform(-1, 1, 5000).astype(np.float32)
     np.testing.assert_allclose(

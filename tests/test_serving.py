@@ -82,6 +82,28 @@ def test_generate_tts_roundtrip(http_server):
     # alignment PNG
     png = base64.b64decode(resp["align_b64"])
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # reference wire fields (views.py:94-103)
+    assert resp["txt"] == "你好。"
+    assert resp["wav"].startswith("data:audio/wav;base64, ")
+    assert resp["img"].startswith("data:image/png;base64, ")
+
+
+def test_generate_tts_form_encoded(http_server):
+    # a client written against the reference Flask app POSTs form field
+    # `txt` (views.py:56) — must work unchanged
+    from urllib.parse import urlencode
+
+    req = urllib.request.Request(
+        http_server + "/generate_tts",
+        data=urlencode({"txt": "早上好。"}).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        resp = json.loads(r.read())
+    assert resp["status"] == 0
+    assert resp["txt"] == "早上好。"
+    assert resp["wav"].startswith("data:audio/wav;base64, ")
 
 
 def test_healthz_and_demo_page(http_server):
@@ -106,11 +128,20 @@ def test_error_paths(http_server):
 
 
 def test_wav_b64_helper_roundtrip():
-    wav = np.sin(np.linspace(0, 20, 1000)).astype(np.float32) * 0.5
+    # served audio goes through the reference save_wav chain (dc-notch,
+    # normalize, 0.95-power compand, full-scale int16) — views.py:81-88
+    wav = np.sin(np.linspace(0, 20, 1000)).astype(np.float32) * 0.05
     b64 = srv.wav_to_base64(wav, 22050)
     with wave.open(io.BytesIO(base64.b64decode(b64))) as w:
         pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
-    np.testing.assert_allclose(pcm / 32767.0, wav, atol=1e-4)
+    assert pcm.shape == wav.shape
+    # full-scale regardless of input peak (a 0.05-peak G&L wav must NOT be
+    # served at 1.5% of int16 range)
+    assert np.abs(pcm).max() > 0.9 * 32767
+    # same processing as the files Synthesizer writes to disk
+    from tacotronv2_wavernn_chinese_tpu.dsp.wav import postprocess_wav_int16
+
+    np.testing.assert_array_equal(pcm, postprocess_wav_int16(wav))
 
 
 def test_generate_tts_batch(http_server):

@@ -218,4 +218,6 @@ def test_outputs_per_step_r(r):
 
     inf = T.forward_inference(params, cfg, inputs, lens, jax.random.PRNGKey(3), 10)
     assert inf.mel_outputs.shape == (B, 10 * r, 80)
-    assert int(inf.stop_lengths[0]) % r == 0
+    # frame-exact, exclusive trim (reference tacotron_synthesize.py:105):
+    # any frame index in [0, 10*r] is legal, not just step multiples
+    assert 0 <= int(inf.stop_lengths[0]) <= 10 * r

@@ -146,6 +146,26 @@ def test_fold_and_unfold_lengths():
     assert np.allclose(out[overlap : target + overlap], 1.0)
 
 
+def test_xfade_unit_gain_across_boundaries():
+    # A constant-1 signal must come back ~1 EVERYWHERE between the initial
+    # silent warmup and the final fade tail — in particular through every
+    # fold boundary (regression: a [fade_out, zeros] tail envelope notched
+    # the summed gain to ~0 at each boundary). Reference keeps gain 1 during
+    # the next fold's warmup then equal-power crossfades.
+    for target, overlap in [(100, 20), (96, 17), (200, 50)]:
+        n = 4
+        folds = np.ones((n, target + 2 * overlap), np.float32)
+        out = W.xfade_and_unfold(folds, overlap)
+        silence_len = overlap // 2
+        # valid span: after the first fold's silent head, before the last tail
+        valid = out[silence_len + (overlap - silence_len) : -(overlap)]
+        # equal-power fades: amplitude sum stays in [1, sqrt(2)] — never a
+        # notch below unity, and exactly 1 in fold interiors
+        assert valid.min() >= 1.0 - 1e-6, (target, overlap, float(valid.min()))
+        assert valid.max() <= np.sqrt(2.0) + 1e-6
+        assert np.allclose(out[overlap : target + overlap], 1.0)
+
+
 def test_fold_preserves_content():
     target, overlap = 100, 20
     x = np.arange(500, dtype=np.float32)[:, None]
