@@ -66,10 +66,13 @@ def supported(cfg: TacotronModelConfig) -> bool:
 
 def supported_shape(batch: int, t_in: int) -> bool:
     """Mosaic only lowers the [B, T_in] -> [B, T_in, 1] expansion in the
-    location-conv accumulation for a single native (8, 128) tile; B > 8 is
-    handled by the wrapper via sequential 8-example groups, but T_in > 128
-    falls back to the XLA decode."""
-    return t_in <= 128
+    location-conv accumulation for a single native (8, 128) tile, so the
+    kernel processes the encoder axis in <=128-wide lane tiles; B > 8 is
+    handled by the wrapper via sequential 8-example groups.  T_in is capped
+    by VMEM: keys+values at B=8, V=512 cost ~20.5 KB per encoder position,
+    and past 384 positions they no longer fit beside the ~4.5 MB of packed
+    weights.  Longer inputs fall back to the XLA decode."""
+    return t_in <= 384
 
 
 def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
@@ -151,7 +154,13 @@ def _kernel(
     (zoneout, drop_rate, B, T_in, A, V, u, M, F, taps) = cfg_static
     weights = rest[: len(WEIGHT_ORDER)]
     (frames_out, stops_out, aligns_out) = rest[len(WEIGHT_ORDER) : len(WEIGHT_ORDER) + 3]
-    (c1S, h1S, c2S, h2S, ctxS, alphaS, cumS, muS, prevS, doneS, cumpadS) = rest[len(WEIGHT_ORDER) + 3 :]
+    (
+        c1S, h1S, c2S, h2S, ctxS, alphaS, cumS, muS, prevS, doneS,
+        energyS, shiftS, winS,
+    ) = rest[len(WEIGHT_ORDER) + 3 :]
+    # the Mosaic [B, w] -> [B, w, 1] expansion only lowers for a single
+    # (8, 128) tile, so every op that needs it runs over these lane tiles
+    tiles = [(lo, min(128, T_in - lo)) for lo in range(0, T_in, 128)]
     W = dict(zip(WEIGHT_ORDER, weights))
     f32 = jnp.float32
 
@@ -165,7 +174,8 @@ def _kernel(
         alphaS[:] = one_hot
         cumS[:] = one_hot
         muS[:, 0] = jnp.full((B,), 0.5, f32)
-        cumpadS[:] = jnp.zeros_like(cumpadS)
+        energyS[:] = jnp.zeros_like(energyS)
+        shiftS[:] = jnp.zeros_like(shiftS)
 
     if drop_rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -216,29 +226,58 @@ def _kernel(
                 c2n, h2n = _lstm_eval(g2, c2, h2, zoneout)
 
             # --- forward + location-sensitive attention ---
-            # location features: SAME conv over cumulated alignments
-            if ablate in ("noconv", "noatt"):
-                f_feat = jnp.zeros((B, T_in, F), f32)
-            else:
-                padl = (taps - 1) // 2
-                cumpadS[:, padl : padl + T_in] = cum
-                conv_w = W["att_conv"][:].astype(f32)  # [taps, F]
-                f_feat = jnp.zeros((B, T_in, F), f32)
-                for j in range(taps):
-                    win = cumpadS[:, j : j + T_in]  # [B, T_in]
-                    f_feat = f_feat + win[..., None] * conv_w[j][None, None, :]
-                f_feat = f_feat + W["att_conv_b"][:].astype(f32)[None]
-            loc = jnp.dot(
-                f_feat.reshape(B * T_in, F).astype(W["att_wl"].dtype),
-                W["att_wl"][:],
-                preferred_element_type=f32,
-            ).reshape(B, T_in, A)
+            # Energy is produced one <=128-wide encoder tile at a time (see
+            # ``tiles`` above): location conv + location layer + tanh energy
+            # stay tile-local, so no full-width [B, T_in, *] intermediate is
+            # ever materialized and T_in may exceed one lane tile.
             pq = mm(h2n, "att_wq")  # [B, A]
             if ablate == "noatt":
                 energy = pq[:, :1] * jnp.ones((B, T_in), f32)
             else:
-                e = jnp.tanh(keys_ref[:].astype(f32) + pq[:, None, :] + loc + W["att_b"][:].astype(f32)[None])
-                energy = jnp.sum(e * W["att_v"][:].astype(f32)[None], axis=-1)  # [B, T_in]
+                padl = (taps - 1) // 2
+                conv_w = W["att_conv"][:].astype(f32)  # [taps, F]
+                # The Mosaic [B,w] -> [B,w,1] expansion lowers only when the
+                # sliced lanes stay inside one (8,128) vreg (offset + width
+                # <= 128), so the encoder axis is processed in 64-wide
+                # subtiles: each subtile's padded conv window (width
+                # wdt + taps - 1 <= 94) is staged ONCE into winS at lane
+                # offset 0, and every tap then reads winS[:, j : j + wdt]
+                # (offset <= taps-1 = 30, so 30 + 64 <= 128 holds).
+                for lo in range(0, T_in, 64):
+                    wdt = min(64, T_in - lo)
+                    # location features: SAME conv over cumulated alignments
+                    if ablate == "noconv":
+                        f_tile = jnp.zeros((B, wdt, F), f32)
+                    else:
+                        d0 = max(0, padl - lo)
+                        d1 = min(wdt + taps - 1, T_in - lo + padl)
+                        if d0 > 0:
+                            winS[:, :d0] = jnp.zeros((B, d0), f32)
+                        if d1 < wdt + taps - 1:
+                            winS[:, d1 : wdt + taps - 1] = jnp.zeros(
+                                (B, wdt + taps - 1 - d1), f32
+                            )
+                        winS[:, d0:d1] = cum[:, lo - padl + d0 : lo - padl + d1]
+                        f_tile = jnp.zeros((B, wdt, F), f32)
+                        for j in range(taps):
+                            win = winS[:, j : j + wdt]  # [B, wdt], offset j <= 30
+                            f_tile = f_tile + win[..., None] * conv_w[j][None, None, :]
+                        f_tile = f_tile + W["att_conv_b"][:].astype(f32)[None]
+                    loc_t = jnp.dot(
+                        f_tile.reshape(B * wdt, F).astype(W["att_wl"].dtype),
+                        W["att_wl"][:],
+                        preferred_element_type=f32,
+                    ).reshape(B, wdt, A)
+                    e_t = jnp.tanh(
+                        keys_ref[:, lo : lo + wdt, :].astype(f32)
+                        + pq[:, None, :]
+                        + loc_t
+                        + W["att_b"][:].astype(f32)[None]
+                    )
+                    energyS[:, lo : lo + wdt] = jnp.sum(
+                        e_t * W["att_v"][:].astype(f32)[None], axis=-1
+                    )  # [B, wdt]
+                energy = energyS[:]
 
             energy = jnp.where(mask > 0, energy, -1e9)
             energy = energy - jnp.max(energy, axis=-1, keepdims=True)
@@ -247,13 +286,25 @@ def _kernel(
             cum_new = cum + align_sm
 
             # forward recursion (attention.py:156-167,218-220)
-            # zero-fill right-shift of alpha: circular roll + mask column 0
-            col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
-            shift_alpha = jnp.where(col == 0, 0.0, pltpu.roll(alpha, shift=1, axis=1))
+            # zero-fill right-shift of alpha via a padded scratch (a lane
+            # roll would not lower past one 128-lane tile): column 0 of
+            # shiftS stays zero from init, columns [1, T_in] hold alpha
+            shiftS[:, 1 : 1 + T_in] = alpha
+            shift_alpha = shiftS[:, :T_in]
             align = ((1.0 - mu) * alpha + mu * shift_alpha + 1e-10) * align_sm
             align = align / jnp.sum(align, axis=-1, keepdims=True)
 
-            ctx_new = jnp.sum(align[..., None] * values_ref[:].astype(f32), axis=1)  # [B, V]
+            ctx_new = jnp.zeros((B, V), f32)
+            for lo, wdt in tiles:
+                # slice then expand_dims: mixing a partial slice with None in
+                # one index expression falls back to jnp's gather, which
+                # Mosaic cannot lower; tile offsets are 128-aligned so the
+                # sliced vector sits at lane offset 0 and reshapes directly
+                a_t = jnp.expand_dims(align[:, lo : lo + wdt], -1)  # [B, wdt, 1]
+                ctx_new = ctx_new + jnp.sum(
+                    a_t * values_ref[:, lo : lo + wdt, :].astype(f32),
+                    axis=1,
+                )  # [B, V]
             mu_new = jax.nn.sigmoid(
                 mm(ctx_new, "mu_c") + mm(h2n, "mu_q") + W["mu_b"][:].astype(f32)
             )[:, 0:1]
@@ -315,8 +366,10 @@ def decode_autoregressive_pallas(
     returns (frames [B,T,M], stops [B,T], aligns [B,T,T_in], stop_len [B]).
 
     Batches beyond the Mosaic tile envelope (B > 8) run as sequential
-    8-example kernel invocations (the last group zero-padded); T_in > 128 is
-    not supported — callers fall back to the XLA decode."""
+    8-example kernel invocations (the last group padded by repeating a real
+    example); the encoder axis is processed in <=128-wide lane tiles, so
+    T_in is VMEM-bound at 384 (``supported_shape``) — longer inputs fall
+    back to the XLA decode."""
     from ..models import attention as ATT
 
     B, T_in, V = memory.shape
@@ -395,7 +448,9 @@ def decode_autoregressive_pallas(
             pltpu.VMEM((B, 128), jnp.float32),  # mu (col 0)
             pltpu.VMEM((B, 128), jnp.float32),  # prev frame (cols 0:M)
             pltpu.VMEM((B, 128), jnp.float32),  # done flag (col 0)
-            pltpu.VMEM((B, T_in + taps), jnp.float32),  # padded cum for conv
+            pltpu.VMEM((B, T_in), jnp.float32),  # per-tile energy assembly
+            pltpu.VMEM((B, T_in + 1), jnp.float32),  # zero-fill alpha shift
+            pltpu.VMEM((B, 128), jnp.float32),  # padded conv window per subtile
         ],
     )
     frames, stops, aligns = pl.pallas_call(

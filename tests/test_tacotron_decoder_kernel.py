@@ -68,6 +68,27 @@ def test_chunk_invariance(setup):
     np.testing.assert_allclose(np.asarray(a[0][:, :n]), np.asarray(b[0][:, :n]), atol=1e-6)
 
 
+def test_parity_beyond_one_lane_tile(setup):
+    """T_in > 128 exercises the kernel's <=128-wide encoder tiling (the
+    Mosaic expansion constraint) and the scratch-based alpha shift."""
+    cfg, params, _, _ = setup
+    B, T_in = 2, 200
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([200, 137], jnp.int32)
+    memory, _ = T.encode(params, cfg, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    assert DK.supported_shape(B, T_in)
+    rng = jax.random.PRNGKey(7)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg, memory, mask, rng, 20)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg, memory, mask, rng, 20, chunk=10, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)
+
+
 def test_weight_packing_shapes(setup):
     cfg, params, memory, _ = setup
     w = DK.pack_weights(params, cfg, dtype=jnp.float32)
