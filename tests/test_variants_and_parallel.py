@@ -18,6 +18,7 @@ from tacotronv2_wavernn_chinese_tpu.parallel.generate import (
     generate_distributed,
     generate_folds_sharded,
     pad_folds_to_multiple,
+    xfade_and_unfold_sharded,
 )
 
 
@@ -250,6 +251,50 @@ def test_generate_distributed_end_to_end():
     wav = generate_distributed(params, mcfg, gen_cfg, mesh, mel, jax.random.PRNGKey(1), bits=8)
     assert wav.shape == (60 * mcfg.total_upsample,)
     assert np.isfinite(wav).all()
+
+
+def test_xfade_sharded_matches_host():
+    """On-device ppermute crossfade == host xfade_and_unfold, including
+    zeroing of bucketing pads past n_folds."""
+    mesh = make_mesh()
+    overlap, target = 40, 120
+    L = target + 2 * overlap
+    n_folds, B = 13, 16  # 3 pad folds spill onto the last shards
+    y = np.random.RandomState(0).randn(B, L).astype(np.float32)
+    got = xfade_and_unfold_sharded(jnp.asarray(y), overlap, n_folds, mesh)
+    ref = W.xfade_and_unfold(y[:n_folds], overlap)
+    assert got.shape == (B * (target + overlap) + overlap,)
+    np.testing.assert_allclose(got[: ref.shape[0]], ref, atol=1e-5)
+    # everything past the real folds' span must be silence
+    np.testing.assert_array_equal(got[ref.shape[0] :], 0.0)
+
+
+def test_xfade_sharded_no_pads_final_tail():
+    """Without bucketing pads the global final tail comes from the last
+    shard's ppermute output row."""
+    mesh = make_mesh()
+    overlap, target = 20, 60
+    L = target + 2 * overlap
+    B = 8
+    y = np.random.RandomState(1).randn(B, L).astype(np.float32)
+    got = xfade_and_unfold_sharded(jnp.asarray(y), overlap, B, mesh)
+    ref = W.xfade_and_unfold(y, overlap)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_generate_distributed_device_crossfade_matches_host_path():
+    mcfg = tiny_wavernn()
+    cfg = default_config()
+    gen_cfg = dataclasses.replace(cfg.wavernn_gen, target=100, overlap=20)
+    params = W.init_wavernn(jax.random.PRNGKey(0), mcfg, num_mels=80, bits=8)
+    mesh = make_mesh()
+    mel = np.random.RandomState(0).rand(60, 80).astype(np.float32)
+    a = generate_distributed(params, mcfg, gen_cfg, mesh, mel,
+                             jax.random.PRNGKey(1), bits=8, device_crossfade=True)
+    b = generate_distributed(params, mcfg, gen_cfg, mesh, mel,
+                             jax.random.PRNGKey(1), bits=8, device_crossfade=False)
+    assert a.shape == b.shape == (60 * mcfg.total_upsample,)
+    np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 def test_generate_batch_multi_utterance():
