@@ -1,21 +1,22 @@
 """Pallas TPU kernel: fused autoregressive Tacotron-2 decoder step.
 
 Status: correct (bit-level parity with the XLA path at f32 — see
-tests/test_tacotron_decoder_kernel.py) and **12x faster per decode step**
-than the XLA ``lax.while_loop``: 1.7 us/step vs 20.6 us/step at B=1 (5.2
-us/step at the native B=8) on v5e, measured as the *marginal* rate between
-two iteration counts with the stop token disabled, with REPS full decodes
-per dispatch via a device-side fori_loop (tools/bench_suite.py).  (Naive
-single-call timing is floored at ~32 ms by the axon tunnel's dispatch
-round-trip — one whole decode is SMALLER than that jitter — and
-randomly-initialized params fire the stop token at step 1; both artifacts
-initially masked the speedup, and single-call marginals without the
-device-side repetition once inflated this number to "7.3 us/step".  The
-``ablate`` arg — "noconv"/"noatt"/"nornn"/"noexit" — exists from that
-investigation and remains useful for stage-level timing.)  At 1.7 us/step
-one chip decodes ~587k mel frames/s: ~7300x realtime at batch 1, ~18,900x
-aggregate at batch 8.  The Synthesizer routes inference through this
-kernel on TPU whenever ``supported(cfg)`` holds.
+tests/test_tacotron_decoder_kernel.py) and **~10x faster per decode step**
+than the XLA ``lax.while_loop``: 1.9 us/step vs 20.6 us/step at B=1, T_in=64
+(5.1 us/step at the native B=8; 2.6 us/step B=1 and 15 us/step B=8 at
+T_in=200 where the XLA loop stays ~20 us) on v5e, measured as the
+*marginal* rate between two iteration counts with the stop token disabled,
+with REPS full decodes per dispatch via a device-side fori_loop
+(tools/bench_suite.py).  (Naive single-call timing is floored at ~32 ms by
+the axon tunnel's dispatch round-trip — one whole decode is SMALLER than
+that jitter — and randomly-initialized params fire the stop token at step
+1; both artifacts initially masked the speedup, and single-call marginals
+without the device-side repetition once inflated this number to "7.3
+us/step".  The ``ablate`` arg — "noconv"/"noatt"/"nornn"/"noexit" — exists
+from that investigation and remains useful for stage-level timing.)  At
+1.9 us/step one chip decodes ~530k mel frames/s: ~6600x realtime at batch
+1, ~18,000x aggregate at batch 8.  The Synthesizer routes inference
+through this kernel on TPU whenever ``supported(cfg)`` holds.
 
 This kernel runs the entire per-frame chain on-chip:
 
@@ -58,6 +59,9 @@ def supported(cfg: TacotronModelConfig) -> bool:
         cfg.attention_mode == "forward"
         and cfg.outputs_per_step == 1
         and len(cfg.prenet_layers) == 2  # pack_weights packs exactly 2 layers
+        # the 64-wide conv subtiles need taps-1 + 64 <= 128 so every tap
+        # read stays inside one vreg (see _kernel)
+        and cfg.attention_kernel <= 65
         and not cfg.smoothing
         and not cfg.anti_repeat
         and not cfg.synthesis_constraint
