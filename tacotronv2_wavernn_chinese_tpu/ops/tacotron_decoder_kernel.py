@@ -244,9 +244,10 @@ def _kernel(
                 # sliced lanes stay inside one (8,128) vreg (offset + width
                 # <= 128), so the encoder axis is processed in 64-wide
                 # subtiles: each subtile's padded conv window (width
-                # wdt + taps - 1 <= 94) is staged ONCE into winS at lane
+                # wdt + taps - 1 <= 128) is staged ONCE into winS at lane
                 # offset 0, and every tap then reads winS[:, j : j + wdt]
-                # (offset <= taps-1 = 30, so 30 + 64 <= 128 holds).
+                # (offset j <= taps-1, so the bound j + wdt <= 128 requires
+                # taps <= 65 — enforced by supported()).
                 for lo in range(0, T_in, 64):
                     wdt = min(64, T_in - lo)
                     # location features: SAME conv over cumulated alignments
@@ -264,7 +265,7 @@ def _kernel(
                         winS[:, d0:d1] = cum[:, lo - padl + d0 : lo - padl + d1]
                         f_tile = jnp.zeros((B, wdt, F), f32)
                         for j in range(taps):
-                            win = winS[:, j : j + wdt]  # [B, wdt], offset j <= 30
+                            win = winS[:, j : j + wdt]  # [B, wdt], j + wdt <= 128
                             f_tile = f_tile + win[..., None] * conv_w[j][None, None, :]
                         f_tile = f_tile + W["att_conv_b"][:].astype(f32)[None]
                     loc_t = jnp.dot(

@@ -38,6 +38,32 @@ def test_supported_gate():
     assert not DK.supported(dataclasses.replace(cfg, attention_mode="lsa"))
     assert not DK.supported(dataclasses.replace(cfg, outputs_per_step=2))
     assert not DK.supported(dataclasses.replace(cfg, anti_repeat=True))
+    # conv subtile vreg bound: taps-1 + 64 <= 128  =>  attention_kernel <= 65
+    assert DK.supported(dataclasses.replace(cfg, attention_kernel=65))
+    assert not DK.supported(dataclasses.replace(cfg, attention_kernel=67))
+
+
+def test_parity_at_max_attention_kernel(setup):
+    """taps=65 sits exactly on the kernel's vreg bound (offset 64 + width 64
+    = 128); parity here exercises the widest admissible conv window."""
+    cfg, _, _, _ = setup
+    cfg = dataclasses.replace(cfg, attention_kernel=65)
+    assert DK.supported(cfg)
+    params = T.init_tacotron(jax.random.PRNGKey(3), cfg)
+    B, T_in = 2, 100
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([100, 73], jnp.int32)
+    memory, _ = T.encode(params, cfg, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    rng = jax.random.PRNGKey(9)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg, memory, mask, rng, 16)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg, memory, mask, rng, 16, chunk=8, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)
 
 
 def test_parity_with_xla_decode(setup):
