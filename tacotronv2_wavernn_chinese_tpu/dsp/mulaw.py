@@ -9,11 +9,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def encode_mu_law(x, mu: int = 1024):
-    """[-1,1] float -> integer label in [0, mu-1] (reference audio.py:8-11)."""
+def encode_mu_law(x, mu: int = 1024, xp=jnp):
+    """[-1,1] float -> integer label in [0, mu-1] (reference audio.py:8-11).
+
+    ``xp=numpy`` runs the same formula on host — per-example preprocessing
+    loops must not dispatch elementwise jnp ops through the device tunnel."""
     m = mu - 1
-    fx = jnp.sign(x) * jnp.log1p(m * jnp.abs(x)) / jnp.log1p(jnp.float32(m))
-    return jnp.floor((fx + 1) / 2 * m + 0.5).astype(jnp.int32)
+    fx = xp.sign(x) * xp.log1p(m * xp.abs(x)) / xp.log1p(xp.float32(m))
+    return xp.floor((fx + 1) / 2 * m + 0.5).astype(xp.int32)
 
 
 def decode_mu_law(y, mu: int = 1024, from_labels: bool = True):

@@ -172,14 +172,15 @@ def denormalize(D: jax.Array, cfg: AudioConfig) -> jax.Array:
     return D * (-cfg.min_level_db) / cfg.max_abs_value + cfg.min_level_db
 
 
-def mel_to_unit(mel: jax.Array, cfg: AudioConfig) -> jax.Array:
+def mel_to_unit(mel: jax.Array, cfg: AudioConfig, xp=jnp) -> jax.Array:
     """Acoustic-model mels ([-4,4]) -> vocoder contract ([0,1]).
 
     The explicit adapter that replaces the reference's scattered rescaling
     (wavernn_preprocess.py:105-106,156-157; tacotron_synthesize.py:115).
+    ``xp=numpy`` keeps host-side per-example loops off the device tunnel.
     """
     m = cfg.max_abs_value
-    return jnp.clip((mel + m) / (2.0 * m), 0.0, 1.0)
+    return xp.clip((mel + m) / (2.0 * m), 0.0, 1.0)
 
 
 def unit_to_mel(unit: jax.Array, cfg: AudioConfig) -> jax.Array:

@@ -77,20 +77,21 @@ def generate_gta(
                 T = int(batch.target_lengths[j])
                 base = os.path.splitext(os.path.basename(row[1]))[0].replace("mel-", "")
 
+                # xp=np: these per-utterance elementwise ops stay on host —
+                # un-jitted jnp here would dispatch op-by-op through the
+                # device tunnel (~32 ms RTT each) for every utterance
                 audio = np.load(os.path.join(data_dir, row[0]))
-                labels = np.asarray(mulaw.encode_mu_law(audio, mu=mu)).astype(np.int16)
+                labels = mulaw.encode_mu_law(audio, mu=mu, xp=np).astype(np.int16)
                 wav_name = f"wav-{base}.npy"
                 np.save(os.path.join(out_dir, wav_name), labels)
 
-                gt_unit = np.asarray(
-                    S.mel_to_unit(jnp.asarray(batch.mel_targets[j][:T]), cfg.audio)
+                gt_unit = S.mel_to_unit(
+                    np.asarray(batch.mel_targets[j][:T]), cfg.audio, xp=np
                 ).astype(np.float32)
                 gt_name = f"gt_mel-{base}.npy"
                 np.save(os.path.join(out_dir, gt_name), gt_unit)
 
-                pred_unit = np.asarray(
-                    S.mel_to_unit(jnp.asarray(pred[j][:T]), cfg.audio)
-                ).astype(np.float32)
+                pred_unit = S.mel_to_unit(pred[j][:T], cfg.audio, xp=np).astype(np.float32)
                 pred_name = f"pred_mel-{base}.npy"
                 np.save(os.path.join(out_dir, pred_name), pred_unit)
 

@@ -68,9 +68,9 @@ def main() -> None:
     gen = cfg.wavernn_gen
     if args.unbatched:
         gen = dataclasses.replace(gen, batched=False)
-    if args.target:
+    if args.target is not None:
         gen = dataclasses.replace(gen, target=args.target)
-    if args.overlap:
+    if args.overlap is not None:  # 0 is valid (disables crossfade)
         gen = dataclasses.replace(gen, overlap=args.overlap)
     cfg = dataclasses.replace(cfg, wavernn_gen=gen)
 

@@ -216,6 +216,10 @@ def _forward_step(params, cfg, query, state, keys, values, mask, train):
         # the reference's near-zero-sum guard so the renormalize below can
         # never divide 0/0 once max_att runs past T-1 —
         # forward_attention.py:205-216)
+        # NOTE: this mirrors forward_attention.py (the variant whose block is
+        # ENABLED at inference): boost = att_sum * 2.0, dwell thres 10.  The
+        # near-identical attention.py block (dead behind `and False`) differs
+        # slightly there: boost 1e-1 + att_sum * 2.0, thres 9.
         att_sum = jnp.sum(align, axis=-1, keepdims=True)
         att_sum = jnp.where(att_sum < 1e-10, 1.0, att_sum)
         at_max = pos == jnp.clip(max_att, 0, T - 1)[:, None]

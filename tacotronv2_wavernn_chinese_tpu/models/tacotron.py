@@ -224,14 +224,22 @@ def decode_teacher_forced(
     dec_inputs = jnp.concatenate([go, strided[:, :-1, :]], axis=1)  # [B, T_dec, M]
 
     step_rngs = jax.random.split(rng, T_dec)
+    # Static full teacher forcing (the reference default: constant ratio 1.0,
+    # helpers.py:136-142 always feeds ground truth) skips the per-step
+    # uniform draw + select entirely; k_step is split identically in both
+    # branches so the dropout stream is bit-identical across them.
+    always_gt = isinstance(teacher_forcing_ratio, (int, float)) and teacher_forcing_ratio >= 1.0
     ratio = jnp.asarray(teacher_forcing_ratio, jnp.float32)
 
     def body(carry, inp):
         dec_carry, prev_pred = carry
         gt_frame, k = inp
         k_step, k_tf = jax.random.split(k)
-        use_gt = jax.random.uniform(k_tf, (B, 1)) < ratio
-        prev_frame = jnp.where(use_gt, gt_frame, prev_pred)
+        if always_gt:
+            prev_frame = gt_frame
+        else:
+            use_gt = jax.random.uniform(k_tf, (B, 1)) < ratio
+            prev_frame = jnp.where(use_gt, gt_frame, prev_pred)
         frames, stop, align, dec_carry = decoder_step(
             params, cfg, prev_frame, dec_carry, keys, memory, mem_mask, train, k_step
         )

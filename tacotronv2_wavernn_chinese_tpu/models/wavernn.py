@@ -423,6 +423,19 @@ def pad_mel_for_generation(mel: np.ndarray, pad: int) -> np.ndarray:
     return np.pad(mel, ((pad, pad), (0, 0)), mode="edge")
 
 
+def select_generate_fn(model_cfg: WaveRNNModelConfig, n_mels: int, use_pallas: bool):
+    """Pick the per-fold AR generation function: the fused Pallas kernel when
+    running on TPU and the config fits its envelope, else the scan path.
+    Single source of truth for kernel gating (used by generate,
+    generate_batch, and parallel.generate)."""
+    if use_pallas and is_tpu_backend():
+        from ..ops import wavernn_kernel as K
+
+        if K.supported(model_cfg, n_mels):
+            return K.generate_pallas
+    return generate_scan
+
+
 def generate(
     params: Params,
     model_cfg: WaveRNNModelConfig,
@@ -447,12 +460,7 @@ def generate(
     wave_len = T_mel * hop
     gen = generate_fn
     if gen is None:
-        gen = generate_scan
-        if gen_cfg.use_pallas and is_tpu_backend():
-            from ..ops import wavernn_kernel as K
-
-            if K.supported(model_cfg, mel.shape[1]):
-                gen = K.generate_pallas
+        gen = select_generate_fn(model_cfg, mel.shape[1], gen_cfg.use_pallas)
 
     if gen_cfg.batched:
         # Fold on mel frames so each fold carries its own conditioning window.
@@ -492,22 +500,40 @@ def generate_batch(
     512 on v5e), then each utterance is crossfade-unfolded from its own fold
     slice.  This is the server-throughput path; the reference processes
     utterances one at a time (wavernn_gen.py:13-45).
+
+    ``gen_cfg.batched=False`` is honored here too (matching ``generate``):
+    each utterance becomes one whole fold padded to a shared bucketed length
+    — no crossfade, at the cost of losing the fold-level parallelism.
     """
     hop = model_cfg.total_upsample
-    if gen_cfg.target % hop or gen_cfg.overlap % hop:
+    if gen_cfg.batched and (gen_cfg.target % hop or gen_cfg.overlap % hop):
         raise ValueError("target and overlap must be multiples of the hop size")
     t_frames = gen_cfg.target // hop
     ov_frames = gen_cfg.overlap // hop
 
     all_folds, counts, lens = [], [], []
-    for mel in mels:
-        folds, n = fold_with_overlap(np.asarray(mel, np.float32), t_frames, ov_frames)
-        all_folds.append(
-            np.stack([pad_mel_for_generation(f, model_cfg.pad) for f in folds])
-        )
-        counts.append(n)
-        lens.append(mel.shape[0] * hop)
-    stacked = np.concatenate(all_folds, axis=0)
+    if gen_cfg.batched:
+        for mel in mels:
+            folds, n = fold_with_overlap(np.asarray(mel, np.float32), t_frames, ov_frames)
+            all_folds.append(
+                np.stack([pad_mel_for_generation(f, model_cfg.pad) for f in folds])
+            )
+            counts.append(n)
+            lens.append(mel.shape[0] * hop)
+        stacked = np.concatenate(all_folds, axis=0)
+    else:
+        # whole utterances, padded (with the edge frame) to a shared length
+        # bucketed to 64 frames so varying batches reuse compiled shapes
+        from ..utils import round_up
+
+        T_max = round_up(max(m.shape[0] for m in mels), 64)
+        for mel in mels:
+            mel = np.asarray(mel, np.float32)
+            lens.append(mel.shape[0] * hop)
+            mel = np.pad(mel, ((0, T_max - mel.shape[0]), (0, 0)), mode="edge")
+            all_folds.append(pad_mel_for_generation(mel, model_cfg.pad)[None])
+            counts.append(1)
+        stacked = np.concatenate(all_folds, axis=0)
     # bucket the total fold count to a multiple of 8 (same as generate()) so
     # varying text batches reuse a few compiled shapes instead of paying a
     # fresh remote kernel compile per distinct fold count
@@ -515,18 +541,16 @@ def generate_batch(
 
     gen = generate_fn
     if gen is None:
-        gen = generate_scan
-        if gen_cfg.use_pallas and is_tpu_backend():
-            from ..ops import wavernn_kernel as K
-
-            if K.supported(model_cfg, stacked.shape[-1]):
-                gen = K.generate_pallas
+        gen = select_generate_fn(model_cfg, stacked.shape[-1], gen_cfg.use_pallas)
     wav_folds = np.asarray(gen(params, model_cfg, jnp.asarray(stacked), rng, bits, apply_mu_law))
 
     out, offset = [], 0
     fade_len = 20 * hop
     for n, wave_len in zip(counts, lens):
-        wav = xfade_and_unfold(wav_folds[offset : offset + n], gen_cfg.overlap)[:wave_len]
+        if gen_cfg.batched:
+            wav = xfade_and_unfold(wav_folds[offset : offset + n], gen_cfg.overlap)[:wave_len]
+        else:
+            wav = wav_folds[offset][:wave_len]
         wav = np.array(wav, np.float32, copy=True)
         if wave_len > fade_len:
             wav[-fade_len:] *= np.linspace(1.0, 0.0, fade_len, dtype=np.float32)

@@ -416,12 +416,9 @@ def decode_autoregressive_pallas(
     T_pad = n_chunks * chunk
     w = pack_weights(params, cfg, dtype)
 
-    key_arr = (
-        jax.random.key_data(rng) if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else rng
-    )
-    seed = jnp.asarray(
-        [jnp.bitwise_xor.reduce(key_arr.astype(jnp.uint32).ravel()).astype(jnp.int32)]
-    )
+    from . import kernel_seed
+
+    seed = kernel_seed(rng)
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i, s: (0,) * a.ndim, memory_space=pltpu.VMEM)
     cfg_static = (

@@ -245,12 +245,9 @@ def generate_pallas(
 
     w = pack_weights(params, cfg, dtype)
     rnn = cfg.rnn_dims
-    key_arr = (
-        jax.random.key_data(rng)
-        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
-        else rng
-    )
-    seed = jnp.asarray([jnp.bitwise_xor.reduce(key_arr.astype(jnp.uint32).ravel()).astype(jnp.int32)])
+    from . import kernel_seed
+
+    seed = kernel_seed(rng)
 
     weight_order = [
         "w_x", "wi_cond", "b_i", "wi1", "wh1", "bi1", "bh1",

@@ -33,7 +33,6 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..config import WaveRNNGenConfig, WaveRNNModelConfig
-from ..utils import is_tpu_backend
 
 
 def pad_folds_to_multiple(folds: np.ndarray, n: int) -> tuple[np.ndarray, int]:
@@ -58,14 +57,9 @@ def generate_folds_sharded(
 ) -> jax.Array:
     """Run fold generation with the fold axis sharded over ``axis``."""
     if generate_fn is None:
-        from ..models.wavernn import generate_scan
+        from ..models.wavernn import select_generate_fn
 
-        generate_fn = generate_scan
-        if use_pallas and is_tpu_backend():
-            from ..ops import wavernn_kernel as K
-
-            if K.supported(model_cfg, folds.shape[-1]):
-                generate_fn = K.generate_pallas
+        generate_fn = select_generate_fn(model_cfg, folds.shape[-1], use_pallas)
 
     def local(f, k):
         # decorrelate sampling noise across shards

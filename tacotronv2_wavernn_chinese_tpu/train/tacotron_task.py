@@ -145,6 +145,11 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
         teacher_forcing_ratio=teacher_forcing_ratio,
     )
     tc = cfg.tacotron_train
+    reg_weight = tc.reg_weight
+    if tc.scale_regularization:
+        # rescale for the mel output range (reference tacotron.py:237-241)
+        m = cfg.audio.max_abs_value
+        reg_weight *= 1.0 / (2.0 * m) if cfg.audio.symmetric_mels else 1.0 / m
     loss, aux = T.tacotron_loss(
         out,
         batch["mel_targets"],
@@ -152,7 +157,7 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
         batch["target_lengths"],
         params,
         cfg.tacotron,
-        reg_weight=tc.reg_weight,
+        reg_weight=reg_weight,
         mask_decoder=tc.mask_decoder,
         stop_pos_weight=tc.stop_pos_weight,
         linear_targets=batch.get("linear_targets"),

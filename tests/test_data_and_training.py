@@ -117,6 +117,26 @@ def test_train_step_decreases_loss(training_data):
     assert int(state.step) == 8
 
 
+def test_scale_regularization_rescales_l2(training_data):
+    """tacotron_train.scale_regularization must rescale the L2 weight by
+    1/(2*max_abs_value) for symmetric mels (reference tacotron.py:237-241)."""
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), CFG)
+    batch = next(ds.batches(epoch_seed=0))
+    arrays = {
+        "inputs": jnp.asarray(batch.inputs),
+        "input_lengths": jnp.asarray(batch.input_lengths),
+        "mel_targets": jnp.asarray(batch.mel_targets),
+        "stop_targets": jnp.asarray(batch.stop_targets),
+        "target_lengths": jnp.asarray(batch.target_lengths),
+    }
+    params = task.init_state(jax.random.PRNGKey(0), CFG).params
+    cfg_on = CFG.override("tacotron_train.scale_regularization=true")
+    _, (aux_off, _, _) = task.loss_fn(params, CFG, arrays, jax.random.PRNGKey(1), train=False)
+    _, (aux_on, _, _) = task.loss_fn(params, cfg_on, arrays, jax.random.PRNGKey(1), train=False)
+    scaler = 1.0 / (2.0 * CFG.audio.max_abs_value)  # 0.125 at the default +/-4
+    np.testing.assert_allclose(float(aux_on["reg"]), float(aux_off["reg"]) * scaler, rtol=1e-6)
+
+
 def test_lr_schedule():
     lr = task.lr_schedule(CFG)
     assert float(lr(jnp.asarray(0))) == pytest.approx(1e-3)

@@ -139,6 +139,19 @@ def test_mulaw_roundtrip():
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1.5e-2)
 
 
+def test_mulaw_and_mel_unit_numpy_backend_parity():
+    """xp=np (the host path used by per-utterance loops, e.g. infer/gta.py)
+    must agree exactly with the jnp path."""
+    x = np.linspace(-1, 1, 257, dtype=np.float32)
+    np.testing.assert_array_equal(
+        encode_mu_law(x, mu=1024, xp=np), np.asarray(encode_mu_law(jnp.asarray(x), mu=1024))
+    )
+    mel = np.linspace(-5, 5, 41, dtype=np.float32).reshape(-1, 1)
+    got = mel_to_unit(mel, CFG, xp=np)
+    assert isinstance(got, np.ndarray)
+    np.testing.assert_allclose(got, np.asarray(mel_to_unit(jnp.asarray(mel), CFG)), atol=1e-7)
+
+
 def test_mulaw_matches_reference_formula():
     """Spot-check vs the reference encode (audio.py:8-11) recomputed in numpy."""
     x = np.linspace(-1, 1, 101, dtype=np.float32)

@@ -116,6 +116,24 @@ def test_teacher_forced_deterministic_eval(params):
     np.testing.assert_allclose(np.asarray(out1.mel_outputs), np.asarray(out2.mel_outputs))
 
 
+def test_teacher_forcing_static_ratio_matches_traced(params):
+    """The static ratio>=1.0 fast path (skips the per-step uniform draw)
+    must be bit-identical to the traced ratio path at 1.0 — uniform() in
+    [0,1) < 1.0 always holds, and k_step is split the same way in both."""
+    inputs, lengths, mels = _inputs()
+    out_fast, _ = T.forward_teacher_forced(
+        params, CFG, inputs, lengths, mels, True, jax.random.PRNGKey(4),
+        teacher_forcing_ratio=1.0,
+    )
+    out_traced, _ = T.forward_teacher_forced(
+        params, CFG, inputs, lengths, mels, True, jax.random.PRNGKey(4),
+        teacher_forcing_ratio=jnp.asarray(1.0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_fast.mel_outputs), np.asarray(out_traced.mel_outputs)
+    )
+
+
 def test_autoregressive_decode(params):
     inputs, lengths, _ = _inputs()
     out = T.forward_inference(params, CFG, inputs, lengths, jax.random.PRNGKey(4), max_iters=12)

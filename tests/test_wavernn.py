@@ -190,6 +190,39 @@ def test_generate_end_to_end(cfg, params):
     assert wav2.shape == wav.shape
 
 
+def test_generate_batch_honors_unbatched(cfg, params):
+    """generate_batch with batched=False must skip fold/crossfade: each
+    utterance runs as ONE whole fold and is trimmed to its own length."""
+    hop = cfg.wavernn.total_upsample
+    rs = np.random.RandomState(1)
+    mels = [rs.rand(27, 80).astype(np.float32), rs.rand(40, 80).astype(np.float32)]
+
+    calls = {}
+
+    def fake_gen(params, mcfg, folds, rng, bits, apply_mu_law):
+        # deterministic "wav": repeat each (trimmed) conditioning frame's
+        # mean over the hop — lets us detect any crossfade rescaling
+        calls["shape"] = tuple(folds.shape)
+        cond = jnp.mean(folds[:, mcfg.pad : folds.shape[1] - mcfg.pad, :], axis=-1)
+        return jnp.repeat(cond, hop, axis=-1)
+
+    gen_cfg = dataclasses.replace(cfg.wavernn_gen, batched=False)
+    out = W.generate_batch(
+        params, cfg.wavernn, gen_cfg, mels, jax.random.PRNGKey(0),
+        bits=cfg.audio.bits, generate_fn=fake_gen,
+    )
+    assert len(out) == 2
+    # one whole fold per utterance (bucketed up to 8 rows), no folding
+    assert calls["shape"][0] == 8
+    fade = 20 * hop
+    for mel, wav in zip(mels, out):
+        assert wav.shape == (mel.shape[0] * hop,)
+        expect = np.repeat(mel.mean(axis=-1), hop)[: wav.shape[0]]
+        # everything before the fade-out tail is the raw fold output —
+        # no equal-power crossfade gain anywhere
+        np.testing.assert_allclose(wav[:-fade], expect[:-fade], atol=1e-5)
+
+
 def test_train_step_decreases_loss(cfg):
     from tacotronv2_wavernn_chinese_tpu.train import wavernn_task as WT
 
