@@ -151,7 +151,7 @@ class Synthesizer:
         calls hit a handful of compiled shapes instead of recompiling per
         utterance length; the wav is trimmed back afterwards."""
         if self.vocoder_params is not None:
-            unit = np.asarray(S.mel_to_unit(jnp.asarray(mel), self.cfg.audio))
+            unit = S.mel_to_unit(np.asarray(mel), self.cfg.audio, xp=np)
             return W.generate(
                 self.vocoder_params,
                 self.cfg.wavernn,
@@ -179,7 +179,7 @@ class Synthesizer:
             os.makedirs(out_dir, exist_ok=True)
             name = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
             wavio.save_wav(wav, os.path.join(out_dir, f"wav-{name}.wav"), self.cfg.audio.sample_rate)
-            unit_mel = np.asarray(S.mel_to_unit(jnp.asarray(mel), self.cfg.audio))
+            unit_mel = S.mel_to_unit(np.asarray(mel), self.cfg.audio, xp=np).astype(np.float32)
             np.save(os.path.join(out_dir, f"mel-{name}.npy"), unit_mel)
             plot_alignment(align, os.path.join(out_dir, f"align-{name}.png"), title=text)
             plot_spectrogram(mel, os.path.join(out_dir, f"mel-{name}.png"))
@@ -205,7 +205,9 @@ class Synthesizer:
             ids.append(self.symbols.encode(p))
         mels, aligns, _ = self.mel_from_ids(ids, seed=seed)
         if self.vocoder_params is not None:
-            units = [np.asarray(S.mel_to_unit(jnp.asarray(m), self.cfg.audio)) for m in mels]
+            # xp=np: host-side per-utterance rescaling (un-jitted jnp here
+            # would dispatch op-by-op through the device tunnel)
+            units = [S.mel_to_unit(m, self.cfg.audio, xp=np) for m in mels]
             wavs = W.generate_batch(
                 self.vocoder_params,
                 self.cfg.wavernn,

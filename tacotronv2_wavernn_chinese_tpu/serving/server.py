@@ -97,20 +97,97 @@ def alignment_to_base64_png(alignment: np.ndarray) -> str:
 
 
 class TTSService:
-    """Holds the synthesizer; serializes device access across HTTP threads."""
+    """Holds the synthesizer; adaptively micro-batches device access.
 
-    def __init__(self, cfg: Config, synthesizer):
+    Concurrent ``/generate_tts`` requests that arrive while the device is
+    busy are coalesced into ONE ``synthesize_batch`` call (padded acoustic
+    decode + fused vocoder over all utterances' folds) instead of queueing
+    serially behind a lock — the classic adaptive-batching server loop.
+    The first request in an idle server runs immediately (no added
+    latency); only same-seed requests coalesce so per-request ``seed``
+    stays reproducible.
+    """
+
+    def __init__(self, cfg: Config, synthesizer, max_batch: int = 8):
         self.cfg = cfg
         self.synth = synthesizer
-        self._lock = threading.Lock()
+        self.max_batch = max_batch
+        self._mutex = threading.Lock()  # guards the queue + counters
+        self._device = threading.Lock()  # serializes device access (leader)
+        self._queue: list[dict] = []
         self.n_requests = 0
+        self.n_device_calls = 0
+
+    # -- adaptive micro-batching ---------------------------------------------
+
+    def _take_batch(self) -> list[dict]:
+        """Pop the longest same-seed FIFO prefix (<= max_batch)."""
+        with self._mutex:
+            if not self._queue:
+                return []
+            seed = self._queue[0]["seed"]
+            n = 1
+            while (
+                n < len(self._queue)
+                and n < self.max_batch
+                and self._queue[n]["seed"] == seed
+            ):
+                n += 1
+            batch, self._queue = self._queue[:n], self._queue[n:]
+            return batch
+
+    def _run_batch(self, batch: list[dict]) -> None:
+        try:
+            if len(batch) == 1:
+                results = [self.synth.synthesize(batch[0]["text"], seed=batch[0]["seed"])]
+            else:
+                results = self.synth.synthesize_batch(
+                    [i["text"] for i in batch], seed=batch[0]["seed"]
+                )
+            with self._mutex:
+                self.n_device_calls += 1
+                self.n_requests += len(batch)
+            for item, r in zip(batch, results):
+                item["result"] = r
+                item["done"].set()
+        except Exception as e:  # noqa: BLE001 - delivered to each waiter
+            for item in batch:
+                item["error"] = e
+                item["done"].set()
+
+    def _pump(self) -> None:
+        """Drain the queue as the leader if the device is idle."""
+        if not self._device.acquire(blocking=False):
+            return  # another thread is leading; our item rides its batch
+        try:
+            while True:
+                batch = self._take_batch()
+                if not batch:
+                    return
+                self._run_batch(batch)
+        finally:
+            self._device.release()
 
     def generate(self, text: str, seed: int = 0) -> dict:
         t0 = time.time()
-        with self._lock:
-            mel, align, pyin = self.synth.text_to_mel(text, seed=seed)
-            wav = self.synth.mel_to_wav(mel, seed=seed)
-            self.n_requests += 1
+        item = {
+            "text": text,
+            "seed": seed,
+            "done": threading.Event(),
+            "result": None,
+            "error": None,
+        }
+        with self._mutex:
+            self._queue.append(item)
+        # re-pump on timeout: covers the race where the leader released the
+        # device just before our item hit the queue
+        self._pump()
+        while not item["done"].wait(timeout=0.05):
+            self._pump()
+        if item["error"] is not None:
+            raise item["error"]
+        r = item["result"]
+        wav, align, pyin = r["wav"], r["alignment"], r["pyin"]
         wav_b64 = wav_to_base64(wav, self.cfg.audio.sample_rate)
         align_b64 = alignment_to_base64_png(align)
         return {
@@ -129,9 +206,11 @@ class TTSService:
     def generate_many(self, texts: list[str], seed: int = 0) -> dict:
         """Batched endpoint: one acoustic decode + one fused vocoder call."""
         t0 = time.time()
-        with self._lock:
+        with self._device:
             results = self.synth.synthesize_batch(texts, seed=seed)
-            self.n_requests += len(texts)
+            with self._mutex:
+                self.n_device_calls += 1
+                self.n_requests += len(texts)
         sr = self.cfg.audio.sample_rate
         return {
             "status": 0,
@@ -174,6 +253,8 @@ def make_handler(service: TTSService):
                     {
                         "status": "ok",
                         "requests": service.n_requests,
+                        "device_calls": service.n_device_calls,
+                        "max_batch": service.max_batch,
                         "vocoder": "wavernn" if service.synth.vocoder_params is not None else "griffin_lim",
                     },
                 )
@@ -223,8 +304,8 @@ def make_handler(service: TTSService):
     return Handler
 
 
-def serve(cfg: Config, synthesizer, host: str = "0.0.0.0", port: int = 8500):
-    service = TTSService(cfg, synthesizer)
+def serve(cfg: Config, synthesizer, host: str = "0.0.0.0", port: int = 8500, max_batch: int = 8):
+    service = TTSService(cfg, synthesizer, max_batch=max_batch)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     infolog.log(f"TTS server on http://{host}:{port} (POST /generate_tts)")
     return httpd
@@ -239,6 +320,10 @@ def main() -> None:
     ap.add_argument("--wavernn-ckpt-dir", default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument(
+        "--max-batch", type=int, default=8,
+        help="max concurrent /generate_tts requests coalesced into one device batch",
+    )
     ap.add_argument("--override", default="")
     args = ap.parse_args()
 
@@ -251,7 +336,7 @@ def main() -> None:
     # warm the jit cache so the first request doesn't pay compile time
     infolog.log("warming up...")
     synth.synthesize("你好。")
-    serve(cfg, synth, args.host, args.port).serve_forever()
+    serve(cfg, synth, args.host, args.port, max_batch=args.max_batch).serve_forever()
 
 
 if __name__ == "__main__":

@@ -156,3 +156,119 @@ def test_generate_tts_batch(http_server):
     assert code == 400
     code, resp = _post(http_server + "/generate_tts_batch", {"texts": ["好" * 501]})
     assert code == 400
+
+
+class _StubSynth:
+    """Deterministic slow synthesizer for micro-batching tests."""
+
+    vocoder_params = None
+
+    def __init__(self, delay=0.15):
+        import time as _t
+
+        self._t = _t
+        self.delay = delay
+        self.batch_sizes = []
+
+    def _result(self, text):
+        return {
+            "wav": np.zeros(100, np.float32),
+            "mel": np.zeros((4, 80), np.float32),
+            "alignment": np.zeros((4, 4), np.float32),
+            "pyin": text,
+        }
+
+    def synthesize(self, text, seed=0, out_dir=None):
+        self._t.sleep(self.delay)
+        self.batch_sizes.append(1)
+        return self._result(text)
+
+    def synthesize_batch(self, texts, seed=0):
+        self._t.sleep(self.delay)
+        self.batch_sizes.append(len(texts))
+        return [self._result(t) for t in texts]
+
+
+def test_microbatching_coalesces_concurrent_requests():
+    """Requests arriving while the device is busy must ride ONE
+    synthesize_batch call, not queue serially."""
+    cfg = tiny_cfg()
+    service = srv.TTSService(cfg, _StubSynth(), max_batch=8)
+    results, errors = [], []
+
+    def worker(i):
+        try:
+            results.append(service.generate(f"t{i}", seed=0))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(0,))]
+    threads[0].start()
+    import time
+
+    time.sleep(0.05)  # let request 0 become the leader and hold the device
+    for i in range(1, 4):
+        threads.append(threading.Thread(target=worker, args=(i,)))
+        threads[-1].start()
+    for t in threads:
+        t.join(timeout=10)
+    assert not errors
+    assert len(results) == 4 and all(r["status"] == 0 for r in results)
+    # request 0 ran alone; 1-3 coalesced into one batch
+    assert service.synth.batch_sizes == [1, 3], service.synth.batch_sizes
+    assert service.n_requests == 4 and service.n_device_calls == 2
+
+
+def test_microbatching_groups_by_seed():
+    """Different seeds must NOT share a batch (per-request reproducibility)."""
+    cfg = tiny_cfg()
+    service = srv.TTSService(cfg, _StubSynth(), max_batch=8)
+
+    def worker(i, seed):
+        service.generate(f"t{i}", seed=seed)
+
+    threads = [threading.Thread(target=worker, args=(0, 0))]
+    threads[0].start()
+    import time
+
+    time.sleep(0.05)
+    for i, seed in [(1, 1), (2, 1), (3, 2)]:
+        threads.append(threading.Thread(target=worker, args=(i, seed)))
+        threads[-1].start()
+        time.sleep(0.01)  # keep FIFO order deterministic
+    for t in threads:
+        t.join(timeout=10)
+    # leader ran alone; then the two seed=1 requests batched; then seed=2
+    assert service.synth.batch_sizes == [1, 2, 1], service.synth.batch_sizes
+    assert service.n_device_calls == 3
+
+
+def test_microbatch_error_propagates_to_all_waiters():
+    cfg = tiny_cfg()
+    service = srv.TTSService(cfg, _StubSynth(), max_batch=8)
+
+    def boom(texts, seed=0):
+        service.synth._t.sleep(0.05)
+        raise RuntimeError("device on fire")
+
+    service.synth.synthesize_batch = boom
+    errors = []
+
+    def worker(i):
+        try:
+            service.generate(f"t{i}", seed=0)
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    threads = [threading.Thread(target=worker, args=(0,))]
+    threads[0].start()
+    import time
+
+    time.sleep(0.05)
+    for i in range(1, 3):
+        threads.append(threading.Thread(target=worker, args=(i,)))
+        threads[-1].start()
+    for t in threads:
+        t.join(timeout=10)
+    # requests 1-2 batched -> both get the error; request 0 (single) succeeded
+    assert errors == ["device on fire", "device on fire"]
