@@ -18,6 +18,7 @@
 //   mels:       float concatenated mel frames [sum_frames, n_mels]
 // so the loader itself allocates nothing per-sample except the ring slots.
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -63,6 +64,26 @@ struct Loader {
   std::atomic<uint64_t> seq{0};
   uint64_t seed;
 
+  // Shuffled epoch permutation shared by all workers: every utterance is
+  // visited exactly once per epoch (matching the Python VocoderDataset and
+  // the reference torch DataLoader's shuffle=True), instead of sampling
+  // with replacement which leaves ~1/e of the corpus unseen per epoch.
+  std::vector<uint32_t> order;
+  size_t cursor = 0;
+  uint64_t epoch = 0;
+  std::mutex order_mu;
+
+  uint32_t next_utt_index() {
+    std::lock_guard<std::mutex> lk(order_mu);
+    if (cursor >= order.size()) {
+      std::mt19937_64 erng(seed ^ (0xd1b54a32d192ed03ULL * (epoch + 1)));
+      std::shuffle(order.begin(), order.end(), erng);
+      cursor = 0;
+      ++epoch;
+    }
+    return order[cursor++];
+  }
+
   void worker(int wid) {
     std::mt19937_64 rng(seed + 0x9e3779b97f4a7c15ULL * (wid + 1));
     const float inv = 2.0f / ((1 << bits) - 1);
@@ -71,7 +92,7 @@ struct Loader {
     std::vector<float> m(batch * mel_win * n_mels);
     while (!stop.load(std::memory_order_relaxed)) {
       for (int b = 0; b < batch; ++b) {
-        const Utt& u = utts[rng() % utts.size()];
+        const Utt& u = utts[next_utt_index()];
         // random window start (mel frame), >= pad frames in; bounded by BOTH
         // the mel length and the label stream (s[t+1] below reads up to
         // start*hop + seq_len, which must stay inside this utterance's
@@ -134,6 +155,9 @@ void* vl_create(const int16_t* labels, const float* mels,
     }
   }
   if (L->utts.empty()) { delete L; return nullptr; }
+  L->order.resize(L->utts.size());
+  for (size_t i = 0; i < L->order.size(); ++i) L->order[i] = (uint32_t)i;
+  L->cursor = L->order.size();  // forces the first epoch shuffle on first pop
   L->ring.resize(ring_size > 0 ? ring_size : 8);
   int nw = n_workers > 0 ? n_workers : 2;
   for (int w = 0; w < nw; ++w)

@@ -32,6 +32,14 @@ class TacotronBatch:
     mel_targets: np.ndarray  # [B, T_out, M] float32
     stop_targets: np.ndarray  # [B, T_out] float32
     target_lengths: np.ndarray  # [B] int32
+    # per-example copy of the batch-max mel length rounded to r — the frame
+    # count the REFERENCE pads to (feeder.py:49-57).  Frames beyond it exist
+    # only for compile-shape bucketing and are excluded from the unmasked
+    # loss so bucketing cannot dilute the training objective.  (Residual
+    # bucket effect: the postnet's +/-10-frame receptive field and its
+    # train-mode BN statistics still see the bucket-pad decoder frames; the
+    # pre-postnet and stop streams are exactly reference-shaped.)
+    loss_frames: np.ndarray  # [B] int32
     indices: list  # metadata row indices (for GTA bookkeeping)
 
 
@@ -98,9 +106,8 @@ class TacotronDataset:
         r = cfg.tacotron.outputs_per_step
         examples = [self.example(i) for i in row_indices]
         max_in = _round_up(max(len(e[0]) for e in examples), input_multiple)
-        max_out = _round_up(
-            _round_up(max(e[1].shape[0] for e in examples), r), mel_multiple
-        )
+        ref_out = _round_up(max(e[1].shape[0] for e in examples), r)
+        max_out = _round_up(ref_out, mel_multiple)
         B = len(examples)
         M = examples[0][1].shape[1]
         pad_value = -cfg.audio.max_abs_value
@@ -116,7 +123,10 @@ class TacotronDataset:
             mels[i, :T] = mel
             stops[i, : T - 1] = 0.0
             target_lengths[i] = T
-        return TacotronBatch(inputs, input_lengths, mels, stops, target_lengths, list(row_indices))
+        loss_frames = np.full((B,), ref_out, np.int32)
+        return TacotronBatch(
+            inputs, input_lengths, mels, stops, target_lengths, loss_frames, list(row_indices)
+        )
 
     def sequential_batches(self, batch_size: int, indices=None, **kw):
         """In-order batches over the corpus (GTA generation / eval)."""

@@ -51,6 +51,11 @@ def int_to_words(num_str: str) -> str:
     if num_str == "0":
         return "零"
     n = len(num_str)
+    if n > 4 * len(_GROUP_UNITS):
+        # beyond 万亿 (16 digits) there is no unit name in the table — read
+        # digit-wise like an ID number (the reference's amap1 simply crashes
+        # past 12 digits, parse_text_to_pyin.py:48)
+        return digits_to_words(num_str)
     # split into 4-digit groups from the right
     groups = []
     end = n

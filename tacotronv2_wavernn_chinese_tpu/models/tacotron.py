@@ -468,10 +468,18 @@ def tacotron_loss(
     stop_pos_weight: float = 1.0,
     linear_targets: jax.Array | None = None,
     sample_rate: int = 22050,
+    loss_frames: jax.Array | None = None,
 ):
     """before/after MSE + stop CE + L2 (reference tacotron.py:195-253).
 
     With ``mask_decoder`` the masked variants of modules.py:403-485 apply.
+
+    ``loss_frames`` [B] (optional): the batch-max frame count rounded to r —
+    the length the reference pads to (feeder.py:49-57).  Frames beyond it
+    exist only for compile-shape bucketing (data/loader.py) and are excluded
+    here, so the unmasked loss matches the reference's exactly: in-batch pad
+    frames up to ``loss_frames`` still contribute (reference semantics),
+    bucket pads do not.
     """
     T = mel_targets.shape[1]
     mask = (jnp.arange(T)[None, :] < target_lengths[:, None]).astype(jnp.float32)
@@ -483,10 +491,17 @@ def tacotron_loss(
         after = jnp.sum(((out.mel_outputs - mel_targets) ** 2) * m3) / denom
         ce = _weighted_sigmoid_ce(stop_targets, out.stop_logits, stop_pos_weight) * mask
         stop_loss = jnp.sum(ce) / jnp.maximum(jnp.sum((ce != 0).astype(jnp.float32)), 1.0)
-    else:
+    elif loss_frames is None:
         before = jnp.mean((out.decoder_output - mel_targets) ** 2)
         after = jnp.mean((out.mel_outputs - mel_targets) ** 2)
         stop_loss = jnp.mean(_weighted_sigmoid_ce(stop_targets, out.stop_logits, 1.0))
+    else:
+        fmask = (jnp.arange(T)[None, :] < loss_frames[:, None]).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(fmask), 1.0)
+        f3 = fmask[..., None]
+        before = jnp.sum(((out.decoder_output - mel_targets) ** 2) * f3) / (n * mel_targets.shape[-1])
+        after = jnp.sum(((out.mel_outputs - mel_targets) ** 2) * f3) / (n * mel_targets.shape[-1])
+        stop_loss = jnp.sum(_weighted_sigmoid_ce(stop_targets, out.stop_logits, 1.0) * fmask) / n
 
     reg = reg_weight * l2_regularizables(params)
     loss = before + after + stop_loss + reg
@@ -503,8 +518,15 @@ def tacotron_loss(
             linear_loss = 0.5 * jnp.sum(l1 * m3) / denom + 0.5 * jnp.sum(
                 (l1 * m3)[:, :, :n_priority]
             ) / denom
-        else:
+        elif loss_frames is None:
             linear_loss = 0.5 * jnp.mean(l1) + 0.5 * jnp.mean(l1[:, :, :n_priority])
+        else:
+            fmask = (jnp.arange(T)[None, :] < loss_frames[:, None]).astype(jnp.float32)
+            f3 = fmask[..., None]
+            n = jnp.maximum(jnp.sum(fmask), 1.0)
+            linear_loss = 0.5 * jnp.sum(l1 * f3) / (n * linear_targets.shape[-1]) + 0.5 * jnp.sum(
+                (l1 * f3)[:, :, :n_priority]
+            ) / (n * n_priority)
         loss = loss + linear_loss
         aux["linear"] = linear_loss
 

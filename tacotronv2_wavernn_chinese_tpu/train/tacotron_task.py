@@ -162,6 +162,7 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
         stop_pos_weight=tc.stop_pos_weight,
         linear_targets=batch.get("linear_targets"),
         sample_rate=cfg.audio.sample_rate,
+        loss_frames=batch.get("loss_frames"),
     )
     return loss, (aux, new_params, out)
 

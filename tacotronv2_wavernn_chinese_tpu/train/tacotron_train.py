@@ -47,6 +47,7 @@ def batch_to_device(batch, mesh):
         "mel_targets": batch.mel_targets,
         "stop_targets": batch.stop_targets,
         "target_lengths": batch.target_lengths,
+        "loss_frames": batch.loss_frames,
     }
     return shard_batch(mesh, arrays) if mesh is not None else arrays
 

@@ -12,3 +12,20 @@ def is_tpu_backend() -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+def is_axon_backend() -> bool:
+    """True when the TPU is reached through the axon stdio-relay tunnel.
+
+    The tunnel reports ``default_backend() == "tpu"`` like real TPUs, but its
+    PJRT ``platform_version`` identifies the plugin; profiler trace capture
+    hangs this transport (see CLAUDE.md), so callers gate on this."""
+    import jax
+
+    try:
+        devs = jax.devices()
+        if not devs:
+            return False
+        return "axon" in getattr(devs[0].client, "platform_version", "").lower()
+    except Exception:
+        return False

@@ -72,19 +72,23 @@ class Profiler:
         self.start_step = start_step
         self.stop_step = start_step + num_steps
         self._active = False
+        self._warned = False
 
     def step(self, step: int) -> None:
         if self.log_dir is None:
             return
         import jax
 
-        if jax.default_backend() == "axon":
-            # the axon tunnel backend hangs on profiler trace capture
-            # (see CLAUDE.md); refuse rather than wedge the device
-            if not self._active and step == self.start_step:
+        from . import is_axon_backend
+
+        if is_axon_backend():
+            # the axon tunnel hangs on profiler trace capture (it reports
+            # backend "tpu", so detect via the PJRT platform_version — see
+            # CLAUDE.md); refuse rather than wedge the device
+            if not self._warned and step >= self.start_step:
                 print("WARNING: jax.profiler unsupported on the axon backend; "
                       "skipping trace capture")
-                self._active = True  # warn once
+                self._warned = True
             return
 
         if not self._active and step == self.start_step:

@@ -117,6 +117,41 @@ def test_train_step_decreases_loss(training_data):
     assert int(state.step) == 8
 
 
+def test_bucket_padding_excluded_from_loss(training_data):
+    """Shape-bucketing pad frames (beyond the batch max rounded to r — the
+    length the REFERENCE pads to, feeder.py:49-57) must not dilute the
+    unmasked loss: the loss on a 64-frame-bucketed batch must equal the loss
+    on the same batch trimmed to the reference length."""
+    cfg = CFG.override("tacotron.dropout_rate=0")  # rng-independent decode
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), cfg)
+    batch = next(ds.batches(epoch_seed=0))
+    ref_T = int(batch.loss_frames[0])
+    assert batch.mel_targets.shape[1] > ref_T, "fixture must exercise bucket padding"
+
+    def arrays(trim):
+        T = ref_T if trim else batch.mel_targets.shape[1]
+        d = {
+            "inputs": jnp.asarray(batch.inputs),
+            "input_lengths": jnp.asarray(batch.input_lengths),
+            "mel_targets": jnp.asarray(batch.mel_targets[:, :T]),
+            "stop_targets": jnp.asarray(batch.stop_targets[:, :T]),
+            "target_lengths": jnp.asarray(batch.target_lengths),
+        }
+        if not trim:
+            d["loss_frames"] = jnp.asarray(batch.loss_frames)
+        return d
+
+    params = task.init_state(jax.random.PRNGKey(0), cfg).params
+    loss_bucketed, (aux_b, _, _) = task.loss_fn(params, cfg, arrays(False), jax.random.PRNGKey(1), train=False)
+    loss_ref, (aux_r, _, _) = task.loss_fn(params, cfg, arrays(True), jax.random.PRNGKey(1), train=False)
+    # pre-postnet and stop streams are bit-exact in the prefix; the postnet's
+    # +/-10-frame receptive field sees the bucket-pad decoder frames near the
+    # boundary, leaving a small residual on "after" (documented in loader.py)
+    np.testing.assert_allclose(float(aux_b["before"]), float(aux_r["before"]), rtol=2e-5)
+    np.testing.assert_allclose(float(aux_b["stop"]), float(aux_r["stop"]), rtol=2e-5)
+    np.testing.assert_allclose(float(aux_b["after"]), float(aux_r["after"]), rtol=5e-3)
+
+
 def test_scale_regularization_rescales_l2(training_data):
     """tacotron_train.scale_regularization must rescale the L2 weight by
     1/(2*max_abs_value) for symmetric mels (reference tacotron.py:237-241)."""

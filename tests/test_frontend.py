@@ -66,6 +66,11 @@ def test_int_to_words():
     assert int_to_words("10000") == "一万"
     assert int_to_words("10005") == "一万零五"
     assert int_to_words("100000005") == "一亿零五"
+    # 16 digits is the last 万亿-group length; beyond that falls back to
+    # digit-wise reading instead of raising (the reference's own unit table
+    # crashes past 12 digits, parse_text_to_pyin.py:48)
+    assert int_to_words("9999999999999999").endswith("九千九百九十九")
+    assert int_to_words("12345678901234567") == "一二三四五六七八九零一二三四五六七"
     assert int_to_words("123456789").replace("，", "") == "一亿二千三百四十五万六千七百八十九"
 
 

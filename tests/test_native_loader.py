@@ -186,3 +186,31 @@ def test_driver_integration(corpus, tmp_path):
         use_native_loader=True, log=lambda *a, **k: None,
     )
     assert int(state.step) == 2
+
+
+def test_epoch_permutation_no_replacement(tmp_path):
+    """Every utterance is visited exactly once per epoch (matching the Python
+    VocoderDataset / reference torch shuffle), not sampled with replacement.
+    One worker makes production order == permutation-pop order, so two
+    epochs' worth of batches must contain each utterance exactly twice."""
+    cfg = cfg_small()
+    n_utts, batch = 16, cfg.wavernn_train.batch_size
+    rows = []
+    for i in range(n_utts):
+        frames = 40
+        lab = np.full(frames * 275, 100 + i, np.int16)  # identifies the utt
+        mel = np.zeros((frames, 80), np.float32)
+        np.save(tmp_path / f"wav-{i}.npy", lab)
+        np.save(tmp_path / f"gt-{i}.npy", mel)
+        np.save(tmp_path / f"pred-{i}.npy", mel)
+        rows.append([f"wav-{i}.npy", f"gt-{i}.npy", f"pred-{i}.npy", "txt"])
+    ldr = NL.NativeVocoderLoader(rows, str(tmp_path), cfg, n_workers=1, ring_size=2)
+    try:
+        counts = np.zeros(n_utts, np.int64)
+        for _ in range(2 * n_utts // batch):
+            b = ldr.next_batch()
+            for v in np.unique(b.y):
+                counts[int(v) - 100] += int((b.y[:, 0] == v).sum())
+        np.testing.assert_array_equal(counts, np.full(n_utts, 2))
+    finally:
+        ldr.close()

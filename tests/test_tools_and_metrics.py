@@ -195,3 +195,42 @@ def test_bench_scaling_mechanics():
     assert rate > 0 and dt > 0
     rate_g, dt_g = bench_gen(devs, cfg, folds_per_device=1, reps=1)
     assert rate_g > 0 and dt_g > 0
+
+
+def test_profiler_axon_guard(tmp_path, monkeypatch, capsys):
+    """On the axon tunnel the profiler must refuse trace capture (it wedges
+    the stdio relay) and close() must NOT call stop_trace afterwards."""
+    from tacotronv2_wavernn_chinese_tpu import utils as U
+    from tacotronv2_wavernn_chinese_tpu.utils.metrics import Profiler
+
+    # CPU backend is not axon
+    assert U.is_axon_backend() is False
+
+    monkeypatch.setattr(U, "is_axon_backend", lambda: True)
+    calls = []
+    import jax
+
+    monkeypatch.setattr(jax.profiler, "start_trace", lambda *a, **k: calls.append("start"))
+    monkeypatch.setattr(jax.profiler, "stop_trace", lambda *a, **k: calls.append("stop"))
+    prof = Profiler(str(tmp_path), start_step=1, num_steps=2)
+    for s in range(5):
+        prof.step(s)
+    prof.close()
+    assert calls == []  # never traced, never stop_trace'd
+    assert "unsupported on the axon backend" in capsys.readouterr().out
+
+
+def test_profiler_traces_on_non_axon(tmp_path, monkeypatch):
+    from tacotronv2_wavernn_chinese_tpu import utils as U
+    from tacotronv2_wavernn_chinese_tpu.utils.metrics import Profiler
+
+    monkeypatch.setattr(U, "is_axon_backend", lambda: False)
+    calls = []
+    import jax
+
+    monkeypatch.setattr(jax.profiler, "start_trace", lambda *a, **k: calls.append("start"))
+    monkeypatch.setattr(jax.profiler, "stop_trace", lambda *a, **k: calls.append("stop"))
+    prof = Profiler(str(tmp_path), start_step=1, num_steps=2)
+    for s in range(5):
+        prof.step(s)
+    assert calls == ["start", "stop"]

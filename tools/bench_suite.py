@@ -53,7 +53,9 @@ def main() -> None:
     sr, hop = cfg.audio.sample_rate, cfg.audio.hop_size
     base = int.from_bytes(os.urandom(4), "little")
     key = jax.random.PRNGKey(base)
-    on_tpu = jax.default_backend() not in ("cpu",)
+    from tacotronv2_wavernn_chinese_tpu.utils import is_tpu_backend
+
+    on_tpu = is_tpu_backend()  # Mosaic kernels only lower on TPU (not gpu/rocm)
     results = []
 
     def emit(metric, value, unit, **extra):
