@@ -21,6 +21,18 @@ Structure (reference semantics: fatchord_version.py:169-260):
 * Sampling is on-chip: pltpu PRNG bits -> Gumbel noise -> argmax over the
   2**bits softmax logits (equivalent to categorical sampling,
   reference fatchord_version.py:233).
+
+Roofline position (v5e, measured via bench.py at 222 folds): the serial
+in-loop matmuls (I-cond 256x512, GRU1 512x1536 x2, GRU2 (512+256)x1536 + h,
+fc1/fc2 (512+256)x512, fc3 512x1024) total ~9.8 MFLOP per fold per sample
+= ~2.2 GFLOP per 222-fold step; at the measured ~14.7 us/step that is
+~148 TFLOP/s = ~75% of the chip's 197 TFLOP/s bf16 peak.  The remaining
+~25% is MXU pipeline latency in an unbreakable serial dependence chain
+(each matmul consumes the previous one's output) plus the VPU work
+(sigmoid/tanh gates, softmax-free Gumbel argmax) and the conditioning DMA.
+An AR sample loop cannot batch across time, so fold count is the only
+utilization lever: throughput scales near-linearly to ~512 folds
+(~690x realtime) where the MXU saturates.
 """
 
 from __future__ import annotations
