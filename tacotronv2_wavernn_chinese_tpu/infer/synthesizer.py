@@ -76,7 +76,7 @@ class Synthesizer:
         }
 
         def infer(params, inputs, lens, rng):
-            use = kernel_ok and _dk_shape(inputs.shape[0], inputs.shape[1])
+            use = kernel_ok and _dk_shape(inputs.shape[0], inputs.shape[1], mcfg)
             return _jit[use](params, inputs, lens, rng)
 
         self._infer = infer

@@ -68,15 +68,39 @@ def supported(cfg: TacotronModelConfig) -> bool:
     )
 
 
-def supported_shape(batch: int, t_in: int) -> bool:
+def supported_shape(batch: int, t_in: int, cfg: TacotronModelConfig | None = None) -> bool:
     """Mosaic only lowers the [B, T_in] -> [B, T_in, 1] expansion in the
     location-conv accumulation for a single native (8, 128) tile, so the
     kernel processes the encoder axis in <=128-wide lane tiles; B > 8 is
     handled by the wrapper via sequential 8-example groups.  T_in is capped
-    by VMEM: keys+values at B=8, V=512 cost ~20.5 KB per encoder position,
-    and past 384 positions they no longer fit beside the ~4.5 MB of packed
-    weights.  Longer inputs fall back to the XLA decode."""
-    return t_in <= 384
+    by VMEM via the cost model below (at the default geometry: keys+values
+    at B=8, V=512 cost ~20.7 KB per encoder position, which no longer fit
+    beside the ~3.7 MB of packed bf16 weights past ~384 positions).  Shapes
+    or geometries outside the envelope fall back to the XLA decode instead
+    of failing at Mosaic compile time."""
+    if t_in > 384:
+        return False
+    if cfg is None:
+        V, A, u, pre, F, taps = 512, 128, 256, 256, 32, 31
+    else:
+        V = 2 * cfg.encoder_lstm_units
+        A = cfg.attention_dim
+        u = cfg.decoder_lstm_units
+        pre = cfg.prenet_layers[-1]
+        F = cfg.attention_filters
+        taps = cfg.attention_kernel
+    b = 8  # kernel-native batch; the wrapper groups larger batches
+    weights = 2 * (  # bf16
+        (pre + V + u) * 4 * u  # lstm1 split kernels
+        + 2 * u * 4 * u  # lstm2
+        + pre * pre + 80 * pre  # prenet
+        + taps * F + F * A + u * A + V * A  # attention conv/layers + keys layer
+        + (u + V) * 81  # frame + stop projections
+        + (V + u)  # mu layer
+    )
+    per_pos = b * (A + V + 6) * 4  # keys/memory/mask + alpha/cum/energy/shift (f32)
+    scratch_fixed = b * (4 * u + V + 5 * 128) * 4
+    return weights + t_in * per_pos + scratch_fixed <= 13_000_000
 
 
 def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
@@ -219,8 +243,11 @@ def _kernel(
             p = dropout(jnp.maximum(mm(p, "pre_w2") + W["pre_b2"][:].astype(f32), 0.0))
 
             if ablate == "nornn":
-                c1n, h1n = c1, p * 0.0 + h1
-                c2n, h2n = c2, h2 + p[:, :h2.shape[-1]] * 1e-6
+                # keep a tiny prenet contribution so DCE can't drop the
+                # stage; shape-safe for any (prenet, lstm) geometry
+                eps = jnp.sum(p, axis=-1, keepdims=True) * 1e-6  # [B, 1]
+                c1n, h1n = c1, h1 + eps
+                c2n, h2n = c2, h2 + eps
             else:
                 # LSTM1 over [prenet, context]
                 g1 = mm(p, "l1_pre") + mm(ctx, "l1_ctx") + mm(h1, "l1_h") + W["l1_b"][:].astype(f32)
@@ -317,21 +344,27 @@ def _kernel(
             frames = mm(h2n, "fp_h") + mm(ctx_new, "fp_c") + W["fp_b"][:].astype(f32)  # [B, M]
             stop = (mm(h2n, "sp_h") + mm(ctx_new, "sp_c") + W["sp_b"][:].astype(f32))[:, 0]  # [B]
 
-            # freeze finished examples (their state must not advance)
-            live = 1.0 - done  # [B,1]
-            frames_out[s, :, :] = frames * live
-            stops_out[s, :] = jnp.where(done[:, 0] > 0.5, 1e4, stop)
-            aligns_out[s, :, :] = align * live
+            # finished examples keep advancing with real outputs/state until
+            # the WHOLE batch stops — exactly the XLA while_loop and the
+            # reference dynamic_decode(impute_finished=False, tacotron.py:101)
+            # semantics; `done` only feeds the all-done early exit.  (An
+            # earlier version froze per-example state/outputs here, which
+            # made the postnet tail of trimmed mels differ between the
+            # kernel and XLA paths when batch examples stop at different
+            # steps.)
+            frames_out[s, :, :] = frames
+            stops_out[s, :] = stop
+            aligns_out[s, :, :] = align
 
-            c1S[:] = jnp.where(done > 0.5, c1, c1n)
-            h1S[:] = jnp.where(done > 0.5, h1, h1n)
-            c2S[:] = jnp.where(done > 0.5, c2, c2n)
-            h2S[:] = jnp.where(done > 0.5, h2, h2n)
-            ctxS[:] = jnp.where(done > 0.5, ctx, ctx_new)
-            alphaS[:] = jnp.where(done > 0.5, alpha, align)
-            cumS[:] = jnp.where(done > 0.5, cum, cum_new)
-            muS[:, 0:1] = jnp.where(done > 0.5, mu, mu_new)
-            prevS[:, :M] = jnp.where(done > 0.5, prev, frames)
+            c1S[:] = c1n
+            h1S[:] = h1n
+            c2S[:] = c2n
+            h2S[:] = h2n
+            ctxS[:] = ctx_new
+            alphaS[:] = align
+            cumS[:] = cum_new
+            muS[:, 0:1] = mu_new
+            prevS[:, :M] = frames
             newly_done = jax.nn.sigmoid(stop) > 0.5
             if ablate != "noexit":
                 doneS[:, 0] = jnp.maximum(doneS[:, 0], newly_done.astype(f32))

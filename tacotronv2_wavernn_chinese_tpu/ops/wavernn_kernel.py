@@ -53,6 +53,13 @@ Params = Dict[str, Any]
 COND_W = 256  # packed conditioning width
 _MEL0, _A1, _A2, _A3, _A4 = 0, 80, 112, 144, 176
 
+# Largest fold batch per pallas_call: at 512 folds the cond double-buffer
+# (2*B*chunk*COND_W bf16 at the chunk floor of 8), the f32 hidden-state and
+# logits scratches, and the ~8.4 MB of pinned bf16 weights still fit VMEM
+# (measured working on v5e — ~690x realtime); ~640 does not.  Larger batches
+# run as sequential groups in generate_pallas.
+MAX_FOLDS = 512
+
 
 def _pack_cond(mels_up: jax.Array, aux: jax.Array, aux_d: int) -> jax.Array:
     """[B,T,80] + [B,T,4*aux_d] -> [B,T,COND_W] (zero-padded)."""
@@ -99,7 +106,9 @@ def pack_weights(params: Params, cfg: WaveRNNModelConfig, dtype=jnp.bfloat16) ->
         "wfc3": params["fc3"]["w"],
         "bfc3": params["fc3"]["b"][None, :],
     }
-    assert M + aux_d == _A1 + (_A2 - _A1), "packing layout assumes 80 mels + 32-dim aux"
+    # the _A1.._A4 column offsets are the 80/32 geometry EXACTLY — a mere
+    # sum check would admit (96, 16)-style splits that scramble a3/a4
+    assert M == _A1 and aux_d == _A2 - _A1, "packing layout assumes 80 mels + 32-dim aux"
     return {k: v.astype(dtype) for k, v in packed.items()}
 
 
@@ -144,7 +153,6 @@ def _kernel(
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     f32 = jnp.float32
-    inv_scale = 2.0 / (n_classes - 1.0)
 
     def body(s, _):
         cond = cond_ref[s, :, :]  # [B, COND_W] bf16
@@ -201,7 +209,10 @@ def _kernel(
         out_ref[s, :] = sample
         h1_ref[:] = h1
         h2_ref[:] = h2
-        x_ref[:, 0] = sample.astype(f32) * inv_scale - 1.0
+        # same op ORDER as dsp.mulaw.label_2_float (2*x then /(n-1)): the
+        # precomputed-reciprocal form differs by 1 ulp for some labels,
+        # which would let greedy trajectories diverge from the scan path
+        x_ref[:, 0] = 2.0 * sample.astype(f32) / (n_classes - 1.0) - 1.0
         return 0
 
     jax.lax.fori_loop(0, chunk, body, 0)
@@ -234,6 +245,33 @@ def generate_pallas(
 ) -> jax.Array:
     """Drop-in replacement for ``wavernn.generate_scan`` -> [B, T] float wav."""
     from ..models import wavernn as W
+
+    n_fc3 = params["fc3"]["w"].shape[1]
+    if n_fc3 != 2 ** bits:
+        # the scan path derives the class count from fc3 itself; a silent
+        # mismatch here would feed wrongly-rescaled samples back into the AR
+        # loop and produce garbage audio instead of an error
+        raise ValueError(
+            f"bits={bits} implies {2 ** bits} mu-law classes but fc3 has {n_fc3}"
+        )
+    if mels.shape[0] > MAX_FOLDS:
+        # beyond ~MAX_FOLDS the cond double-buffer + scratches no longer fit
+        # VMEM beside the pinned weights; run sequential fold groups (each
+        # amortizes fully — the MXU already saturates near MAX_FOLDS)
+        outs = []
+        for g in range(0, mels.shape[0], MAX_FOLDS):
+            grng = (
+                jax.random.fold_in(rng, g)
+                if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                else rng + jnp.asarray(g + 1, rng.dtype)
+            )
+            outs.append(
+                generate_pallas(
+                    params, cfg, mels[g : g + MAX_FOLDS], grng, bits,
+                    apply_mu_law, greedy, chunk, interpret, dtype,
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
 
     aux_d = cfg.res_out_dims // 4
     mels_up, aux, _ = W.upsample(params, cfg, mels, train=False)

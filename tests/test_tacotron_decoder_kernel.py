@@ -128,3 +128,39 @@ def test_weight_packing_shapes(setup):
     # split kernels reassemble the originals
     l1 = np.concatenate([w["l1_pre"], w["l1_ctx"], w["l1_h"]], axis=0)
     np.testing.assert_allclose(l1, np.asarray(params["dec_lstm1"]["w"]), atol=0)
+
+
+def test_post_stop_frames_match_xla(setup):
+    """When batch examples stop at different steps the kernel must keep
+    advancing finished examples with REAL frames/state — the reference runs
+    dynamic_decode(impute_finished=False, tacotron.py:101) — so the full
+    untrimmed buffers (which the postnet convolves) match the XLA decode."""
+    cfg, params, memory, mask = setup
+    # bias the stop projection so examples stop early at different steps
+    p2 = dict(params)
+    p2["stop_projection"] = dict(
+        params["stop_projection"],
+        b=params["stop_projection"]["b"] + 4.0,
+    )
+    rng = jax.random.PRNGKey(11)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(p2, cfg, memory, mask, rng, 24)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        p2, cfg, memory, mask, rng, 24, chunk=8, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    # FULL buffers (not trimmed to min stop) must agree: finished examples
+    # keep producing real frames until the whole batch stops, zeros after
+    np.testing.assert_allclose(np.asarray(fr_r), np.asarray(fr_k), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r), np.asarray(al_k), atol=1e-5)
+    n = int(np.asarray(sl_r).max()) + 1
+    np.testing.assert_allclose(np.asarray(st_r[:, :n]), np.asarray(st_k[:, :n]), atol=1e-5)
+
+
+def test_supported_shape_accounts_for_config_dims():
+    cfg = default_config().tacotron
+    assert DK.supported_shape(1, 384)  # default geometry fits at the cap
+    assert DK.supported_shape(1, 384, cfg)
+    # a double-width encoder (V=1024) blows the VMEM budget at large T_in
+    big = dataclasses.replace(cfg, encoder_lstm_units=512)
+    assert not DK.supported_shape(1, 384, big)
+    assert DK.supported_shape(1, 64, big)  # but small shapes still fit

@@ -112,3 +112,39 @@ def test_sampled_mode_interpret(setup):
                              apply_mu_law=False, chunk=16, interpret=True,
                              dtype=jnp.float32)
     assert not np.array_equal(labels, _labels(out2))
+
+
+def test_bits_fc3_mismatch_raises(setup):
+    """bits must agree with the fc3 class count — a silent mismatch would
+    feed wrongly-rescaled samples back into the AR loop (garbage audio)."""
+    mcfg, params, mels = setup
+    with pytest.raises(ValueError, match="mu-law classes"):
+        K.generate_pallas(params, mcfg, mels, jax.random.PRNGKey(0), bits=10,
+                          interpret=True, dtype=jnp.float32)
+
+
+def test_fold_grouping_matches_single_call(setup, monkeypatch):
+    """Fold batches beyond MAX_FOLDS run as sequential groups; greedy output
+    must equal the ungrouped call exactly."""
+    mcfg, params, _ = setup
+    mels = jax.random.uniform(jax.random.PRNGKey(4), (5, 8, 80))
+    whole = K.generate_pallas(params, mcfg, mels, jax.random.PRNGKey(5), bits=8,
+                              apply_mu_law=False, greedy=True, chunk=16,
+                              interpret=True, dtype=jnp.float32)
+    monkeypatch.setattr(K, "MAX_FOLDS", 2)
+    grouped = K.generate_pallas(params, mcfg, mels, jax.random.PRNGKey(5), bits=8,
+                                apply_mu_law=False, greedy=True, chunk=16,
+                                interpret=True, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(whole), np.asarray(grouped))
+
+
+def test_pack_weights_rejects_non_reference_geometry():
+    cfg = default_config()
+    mcfg = dataclasses.replace(
+        cfg.wavernn, upsample_factors=(2, 2, 5), rnn_dims=64, fc_dims=64,
+        compute_dims=32, res_out_dims=64, res_blocks=2,  # aux_d=16
+    )
+    params = W.init_wavernn(jax.random.PRNGKey(0), mcfg, num_mels=96, bits=8)
+    with pytest.raises(AssertionError):
+        K.pack_weights(params, mcfg)
+    assert not K.supported(mcfg, 96)
