@@ -146,6 +146,9 @@ class TacotronTrainConfig:
     teacher_forcing_decay_alpha: float | None = None
     mask_decoder: bool = False
     stop_pos_weight: float = 20.0  # cross_entropy_pos_weight
+    # bf16 weights / f32 master+activations (utils/precision.py) — halves the
+    # decoder scan's per-step weight HBM reads; the reference is f32-only
+    mixed_precision: bool = False
     fine_tune: bool = False  # freeze embedding+encoder (reference tacotron.py:167-169)
     checkpoint_interval: int = 500
     summary_interval: int = 1000
@@ -194,6 +197,8 @@ class WaveRNNTrainConfig:
     grad_clip_norm: float = 4.0
     seed: int = 1234
     max_checkpoints_to_keep: int = 20
+    # bf16 weights / f32 master+activations (utils/precision.py)
+    mixed_precision: bool = False
 
 
 @dataclass(frozen=True)

@@ -83,9 +83,17 @@ def conv1d_init(key, width: int, in_ch: int, out_ch: int, use_bias: bool = True)
 
 def conv1d(p: Params, x: jax.Array, dilation: int = 1) -> jax.Array:
     """SAME-padded 1-D convolution over [B, T, C]."""
+    w = p["w"]
+    if w.dtype != x.dtype:
+        # lax.conv requires matching dtypes (no promotion): under the
+        # mixed-precision policy (utils/precision.py) weights arrive bf16 —
+        # promote both sides (conv kernels are tiny, so f32 compute here
+        # costs nothing; the MXU runs f32 convs as bf16 passes anyway)
+        dt = jnp.promote_types(w.dtype, x.dtype)
+        x, w = x.astype(dt), w.astype(dt)
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"],
+        w,
         window_strides=(1,),
         padding="SAME",
         rhs_dilation=(dilation,),

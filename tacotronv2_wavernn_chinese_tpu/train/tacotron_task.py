@@ -21,6 +21,7 @@ import optax
 
 from ..config import Config
 from ..models import tacotron as T
+from ..utils import precision as P
 
 
 class TrainState(NamedTuple):
@@ -134,6 +135,11 @@ def init_state(key, cfg: Config) -> TrainState:
 
 
 def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing_ratio=1.0):
+    master = params
+    if cfg.tacotron_train.mixed_precision:
+        # bf16 weights (BN stats + attention stay f32); grads flow back to
+        # the f32 master through the cast (utils/precision.py)
+        params = P.cast_params(params)
     out, new_params = T.forward_teacher_forced(
         params,
         cfg.tacotron,
@@ -145,6 +151,11 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
         teacher_forcing_ratio=teacher_forcing_ratio,
     )
     tc = cfg.tacotron_train
+    if tc.mixed_precision:
+        # rebuild the f32 master (updated BN stats from the forward, weights
+        # from the master) and compute the loss in f32
+        new_params = P.merge_master(master, new_params)
+        out = P.cast_to_float32(out)
     reg_weight = tc.reg_weight
     if tc.scale_regularization:
         # rescale for the mel output range (reference tacotron.py:237-241)
@@ -155,7 +166,9 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
         batch["mel_targets"],
         batch["stop_targets"],
         batch["target_lengths"],
-        params,
+        # L2 reg over f32 weights: in mixed mode the merged master tree (its
+        # weight leaves ARE the master tensors, so the reg grads attach there)
+        new_params if tc.mixed_precision else params,
         cfg.tacotron,
         reg_weight=reg_weight,
         mask_decoder=tc.mask_decoder,

@@ -22,6 +22,7 @@ import optax
 
 from ..config import Config
 from ..models import wavernn as W
+from ..utils import precision as P
 
 
 class WaveRNNTrainState(NamedTuple):
@@ -45,7 +46,14 @@ def init_state(key, cfg: Config) -> WaveRNNTrainState:
 
 
 def loss_fn(params, cfg: Config, batch, train: bool = True):
+    master = params
+    if cfg.wavernn_train.mixed_precision:
+        # bf16 weights, f32 master/activations/loss (utils/precision.py)
+        params = P.cast_params(params)
     logits, new_params = W.forward(params, cfg.wavernn, batch["x"], batch["mels"], train)
+    if cfg.wavernn_train.mixed_precision:
+        new_params = P.merge_master(master, new_params)
+        logits = logits.astype(jnp.float32)
     loss = W.wavernn_loss(logits, batch["y"], mode=cfg.wavernn.mode, bits=cfg.audio.bits)
     return loss, (new_params, logits)
 
