@@ -149,6 +149,10 @@ class TacotronTrainConfig:
     # bf16 weights / f32 master+activations (utils/precision.py) — halves the
     # decoder scan's per-step weight HBM reads; the reference is f32-only
     mixed_precision: bool = False
+    # fuse K optimizer steps into one device dispatch (lax.scan over steps,
+    # train_step_many): amortizes host dispatch latency; checkpoints/summaries
+    # land on the first boundary after a fused group (exact at 1)
+    steps_per_dispatch: int = 1
     fine_tune: bool = False  # freeze embedding+encoder (reference tacotron.py:167-169)
     checkpoint_interval: int = 500
     summary_interval: int = 1000
@@ -199,6 +203,8 @@ class WaveRNNTrainConfig:
     max_checkpoints_to_keep: int = 20
     # bf16 weights / f32 master+activations (utils/precision.py)
     mixed_precision: bool = False
+    # fuse K optimizer steps into one device dispatch (train_step_many)
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

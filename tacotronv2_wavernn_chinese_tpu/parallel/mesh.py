@@ -46,6 +46,19 @@ def shard_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
     return jax.tree_util.tree_map(put, tree)
 
 
+def shard_stacked_batch(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
+    """Device-put [K, B, ...] step-stacked batches (train_step_many): the
+    step dim replicates, the batch dim (1) shards over the mesh."""
+    sh = NamedSharding(mesh, P(None, axis))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            return jax.device_put(x, sh)
+        return x
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -180,8 +180,7 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
     return loss, (aux, new_params, out)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def train_step(state: TrainState, batch, rng, cfg: Config):
+def _train_step_core(state: TrainState, batch, rng, cfg: Config):
     """One optimization step; returns (new_state, metrics)."""
     tf_ratio = teacher_forcing_schedule(cfg, state.step)
     (loss, (aux, new_params, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -195,6 +194,35 @@ def train_step(state: TrainState, batch, rng, cfg: Config):
     gnorm = optax.global_norm(grads)
     metrics = dict(aux, grad_norm=gnorm, lr=lr_schedule(cfg)(state.step))
     return TrainState(state.step + 1, params, opt_state), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(state: TrainState, batch, rng, cfg: Config):
+    """One optimization step; returns (new_state, metrics)."""
+    return _train_step_core(state, batch, rng, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step_many(state: TrainState, batches, rng, cfg: Config):
+    """K optimization steps fused into ONE device dispatch.
+
+    ``batches`` is the ``train_step`` batch pytree with a leading [K] axis
+    (all K sub-batches must share static shapes — the driver groups
+    same-bucket batches, train/tacotron_train.py).  A ``lax.scan`` runs the
+    K steps back-to-back on device, so the host pays one dispatch + one
+    metrics transfer per K steps instead of per step.  On the axon tunnel
+    that removes a ~32 ms RTT per step; on real pods it keeps the device
+    busy during what would be host-loop time.  Returns (new_state,
+    metrics stacked [K]) — the driver still applies its loss-explosion
+    guard to every sub-step value.
+    """
+
+    def body(st, xs):
+        batch, i = xs
+        return _train_step_core(st, batch, jax.random.fold_in(rng, i), cfg)
+
+    K = jax.tree_util.tree_leaves(batches)[0].shape[0]
+    return jax.lax.scan(body, state, (batches, jnp.arange(K)))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -28,7 +28,7 @@ from ..data.preprocess import read_metadata
 from ..dsp.griffin_lim import inv_mel_spectrogram
 from ..dsp.spectrogram import MelPipeline
 from ..dsp.wav import save_wav
-from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch, shard_stacked_batch
 from ..utils import logging as infolog
 from ..utils.checkpoints import CheckpointManager
 from ..utils.metrics import MetricsWriter, Profiler
@@ -40,8 +40,8 @@ class LossExplosion(Exception):
     pass
 
 
-def batch_to_device(batch, mesh):
-    arrays = {
+def _batch_arrays(batch):
+    return {
         "inputs": batch.inputs,
         "input_lengths": batch.input_lengths,
         "mel_targets": batch.mel_targets,
@@ -49,7 +49,18 @@ def batch_to_device(batch, mesh):
         "target_lengths": batch.target_lengths,
         "loss_frames": batch.loss_frames,
     }
+
+
+def batch_to_device(batch, mesh):
+    arrays = _batch_arrays(batch)
     return shard_batch(mesh, arrays) if mesh is not None else arrays
+
+
+def stacked_to_device(group, mesh):
+    """Stack K same-shape batches into [K, B, ...] for train_step_many."""
+    trees = [_batch_arrays(b) for b in group]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
+    return shard_stacked_batch(mesh, stacked) if mesh is not None else stacked
 
 
 def run_training(
@@ -89,41 +100,80 @@ def run_training(
     time_win, loss_win = infolog.ValueWindow(100), infolog.ValueWindow(100)
     step = int(state.step)
     epoch = 0
+    spd = max(1, int(tc.steps_per_dispatch))
     ctx = mesh if mesh is not None else contextlib.nullcontext()
+
+    def dispatch(group):
+        """Run len(group) steps — ONE fused device dispatch when K>1 —
+        then apply the per-step guards/logging to every sub-step."""
+        nonlocal state, step
+        t0 = time.time()
+        k = len(group)
+        if k == 1:
+            arrays = batch_to_device(group[0], mesh)
+            state, metrics = task.train_step(
+                state, arrays, jax.random.fold_in(rng, step), cfg
+            )
+            mhost = {kk: np.asarray(v)[None] for kk, v in jax.device_get(metrics).items()}
+        else:
+            arrays = stacked_to_device(group, mesh)
+            state, metrics = task.train_step_many(
+                state, arrays, jax.random.fold_in(rng, step), cfg
+            )
+            mhost = {kk: np.asarray(v) for kk, v in jax.device_get(metrics).items()}
+        dt = (time.time() - t0) / k
+        ckpt_due = False
+        for i in range(k):
+            sub = step + i + 1
+            loss = float(mhost["loss"][i])
+            time_win.append(dt)
+            loss_win.append(loss)
+            profiler.step(sub)
+            if np.isnan(loss) or loss > tc.loss_explosion_threshold:
+                log(f"Loss exploded to {loss:.5f} at step {sub}")
+                raise LossExplosion("loss exploded, aborting")
+            if sub % tc.summary_interval == 0 or sub < 5:
+                metrics_writer.write(sub, {kk: v[i] for kk, v in mhost.items()})
+            if sub % 10 == 0 or sub < 10:
+                log(
+                    f"Step {sub:7d} [{time_win.average:.3f} sec/step, "
+                    f"loss={loss:.5f}, avg_loss={loss_win.average:.5f}, "
+                    f"lr={float(mhost['lr'][i]):.2e}]"
+                )
+            if sub % tc.checkpoint_interval == 0:
+                ckpt_due = True
+        step = int(state.step)
+        if ckpt_due:
+            # with K>1 the save lands at the end of the fused group — at most
+            # K-1 steps past the exact boundary (exact when spd == 1)
+            mgr.save(step, jax.device_get(state))
+            log(f"saved checkpoint at step {step}")
+            if render_eval:
+                arrays1 = batch_to_device(group[-1], mesh)
+                _render_eval(cfg, state.params, group[-1], arrays1, pipe, eval_dir, step, log)
+                _dump_embedding(state.params, eval_dir, log)
+
     with ctx:
         while step < total_steps:
+            buf: dict = {}
             for batch in dataset.batches(epoch_seed=tc.data_seed + epoch):
                 if step >= total_steps:
                     break
-                t0 = time.time()
-                step_rng = jax.random.fold_in(rng, step)
-                arrays = batch_to_device(batch, mesh)
-                state, metrics = task.train_step(state, arrays, step_rng, cfg)
-                loss = float(metrics["loss"])
-                step = int(state.step)
-                time_win.append(time.time() - t0)
-                loss_win.append(loss)
-                profiler.step(step)
-                if np.isnan(loss) or loss > tc.loss_explosion_threshold:
-                    log(f"Loss exploded to {loss:.5f} at step {step}")
-                    raise LossExplosion("loss exploded, aborting")
-                if step % tc.summary_interval == 0 or step < 5:
-                    metrics_writer.write(
-                        step,
-                        {k: v for k, v in metrics.items()},
-                    )
-                if step % 10 == 0 or step < 10:
-                    log(
-                        f"Step {step:7d} [{time_win.average:.3f} sec/step, "
-                        f"loss={loss:.5f}, avg_loss={loss_win.average:.5f}, "
-                        f"lr={float(metrics['lr']):.2e}]"
-                    )
-                if step % tc.checkpoint_interval == 0:
-                    mgr.save(step, jax.device_get(state))
-                    log(f"saved checkpoint at step {step}")
-                    if render_eval:
-                        _render_eval(cfg, state.params, batch, arrays, pipe, eval_dir, step, log)
-                        _dump_embedding(state.params, eval_dir, log)
+                if spd == 1 or step + spd > total_steps:
+                    dispatch([batch])
+                    continue
+                # group same-bucket (same static shape) batches for one
+                # fused train_step_many dispatch
+                key = (batch.inputs.shape, batch.mel_targets.shape)
+                buf.setdefault(key, []).append(batch)
+                if len(buf[key]) == spd:
+                    dispatch(buf.pop(key))
+            # epoch tail: flush part-filled groups one step at a time so only
+            # the (1, spd) dispatch shapes ever compile
+            for group in buf.values():
+                for b in group:
+                    if step < total_steps:
+                        dispatch([b])
             epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()

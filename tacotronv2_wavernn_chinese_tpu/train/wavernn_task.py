@@ -58,8 +58,7 @@ def loss_fn(params, cfg: Config, batch, train: bool = True):
     return loss, (new_params, logits)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def train_step(state: WaveRNNTrainState, batch, cfg: Config):
+def _train_step_core(state: WaveRNNTrainState, batch, cfg: Config):
     (loss, (new_params, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, cfg, batch, True
     )
@@ -70,6 +69,24 @@ def train_step(state: WaveRNNTrainState, batch, cfg: Config):
     gnorm = optax.global_norm(grads)
     metrics = {"loss": loss, "grad_norm": gnorm}
     return WaveRNNTrainState(state.step + 1, params, opt_state), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step(state: WaveRNNTrainState, batch, cfg: Config):
+    return _train_step_core(state, batch, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step_many(state: WaveRNNTrainState, batches, cfg: Config):
+    """K steps fused into ONE dispatch (see tacotron_task.train_step_many).
+
+    WaveRNN windows are fixed-size (seq_len = hop * seq_len_hops), so any K
+    consecutive loader batches stack directly; metrics come back [K]."""
+
+    def body(st, batch):
+        return _train_step_core(st, batch, cfg)
+
+    return jax.lax.scan(body, state, batches)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

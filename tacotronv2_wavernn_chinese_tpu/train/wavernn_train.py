@@ -28,7 +28,7 @@ from ..data.loader import VocoderDataset
 from ..data.preprocess import read_metadata
 from ..dsp.wav import save_wav
 from ..models import wavernn as W
-from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch, shard_stacked_batch
 from ..utils import logging as infolog
 from ..utils.checkpoints import CheckpointManager
 from ..utils.metrics import MetricsWriter
@@ -88,36 +88,70 @@ def run_training(
     time_win, loss_win = infolog.ValueWindow(100), infolog.ValueWindow(100)
     step = int(state.step)
     epoch = 0
-    while step < total_steps:
-        for batch in batch_stream(epoch):
-            if step >= total_steps:
-                break
-            t0 = time.time()
-            arrays = {"x": batch.x, "y": batch.y, "mels": batch.mels}
+    spd = max(1, int(wc.steps_per_dispatch))
+
+    def dispatch(group):
+        """Run len(group) steps — ONE fused dispatch when K>1 (vocoder
+        windows are fixed-size, so any K batches stack)."""
+        nonlocal state, step
+        t0 = time.time()
+        k = len(group)
+        trees = [{"x": b.x, "y": b.y, "mels": b.mels} for b in group]
+        if k == 1:
+            arrays = trees[0]
             if mesh is not None:
                 arrays = shard_batch(mesh, arrays)
             state, metrics = task.train_step(state, arrays, cfg)
-            loss = float(metrics["loss"])
-            gnorm = float(metrics["grad_norm"])
-            step = int(state.step)
-            time_win.append(time.time() - t0)
+            mhost = {kk: np.asarray(v)[None] for kk, v in jax.device_get(metrics).items()}
+        else:
+            arrays = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *trees)
+            if mesh is not None:
+                arrays = shard_stacked_batch(mesh, arrays)
+            state, metrics = task.train_step_many(state, arrays, cfg)
+            mhost = {kk: np.asarray(v) for kk, v in jax.device_get(metrics).items()}
+        dt = (time.time() - t0) / k
+        ckpt_due = False
+        for i in range(k):
+            sub = step + i + 1
+            loss = float(mhost["loss"][i])
+            gnorm = float(mhost["grad_norm"][i])
+            time_win.append(dt)
             loss_win.append(loss)
             if np.isnan(gnorm):
-                log(f"WARNING: NaN grad norm at step {step}")  # wavernn_train.py:126-128
+                log(f"WARNING: NaN grad norm at step {sub}")  # wavernn_train.py:126-128
             if np.isnan(loss):
-                raise RuntimeError(f"loss is NaN at step {step}")
-            if step % 10 == 0 or step < 10:
+                raise RuntimeError(f"loss is NaN at step {sub}")
+            if sub % 10 == 0 or sub < 10:
                 log(
-                    f"Step {step:7d} [{time_win.average:.3f} sec/step, "
+                    f"Step {sub:7d} [{time_win.average:.3f} sec/step, "
                     f"loss={loss:.5f}, avg={loss_win.average:.5f}]"
                 )
-            if step % 100 == 0 or step < 5:
-                metrics_writer.write(step, {"loss": loss, "grad_norm": gnorm})
-            if step % wc.checkpoint_every == 0:
-                mgr.save(step, jax.device_get(state))
-                log(f"saved checkpoint at step {step}")
-                if gen_at_checkpoint:
-                    _gen_testset(cfg, state.params, dataset, out_dir, step, log)
+            if sub % 100 == 0 or sub < 5:
+                metrics_writer.write(sub, {"loss": loss, "grad_norm": gnorm})
+            if sub % wc.checkpoint_every == 0:
+                ckpt_due = True
+        step = int(state.step)
+        if ckpt_due:
+            mgr.save(step, jax.device_get(state))
+            log(f"saved checkpoint at step {step}")
+            if gen_at_checkpoint:
+                _gen_testset(cfg, state.params, dataset, out_dir, step, log)
+
+    while step < total_steps:
+        pending = []
+        for batch in batch_stream(epoch):
+            if step >= total_steps:
+                break
+            if spd == 1 or step + spd > total_steps:
+                dispatch([batch])
+                continue
+            pending.append(batch)
+            if len(pending) == spd:
+                dispatch(pending)
+                pending = []
+        for b in pending:  # epoch tail: singles (only shapes (1, spd) compile)
+            if step < total_steps:
+                dispatch([b])
         epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()

@@ -211,6 +211,56 @@ def test_training_driver_loop(training_data, tmp_path):
     assert any(e.endswith(".png") for e in evals)
 
 
+def test_training_driver_loop_fused_dispatch(training_data, tmp_path):
+    """steps_per_dispatch>1: fused K-step dispatches, correct final step
+    count (tail handled by single-step dispatches), checkpoint after the
+    group that crossed the boundary."""
+    from tacotronv2_wavernn_chinese_tpu.train.tacotron_train import run_training
+
+    cfg = dataclasses.replace(
+        CFG,
+        tacotron_train=dataclasses.replace(
+            CFG.tacotron_train, checkpoint_interval=3, steps_per_dispatch=2
+        ),
+    )
+    state = run_training(
+        cfg,
+        str(training_data / "train.txt"),
+        str(training_data),
+        str(tmp_path / "logs_fused"),
+        total_steps=5,
+        use_mesh=False,
+        render_eval=False,
+        log=lambda *a, **k: None,
+    )
+    assert int(state.step) == 5
+    assert os.listdir(tmp_path / "logs_fused" / "taco_pretrained")
+
+
+def test_wavernn_training_driver_loop_fused_dispatch(gta_dir, tmp_path):
+    from tacotronv2_wavernn_chinese_tpu.train.wavernn_train import run_training
+
+    cfg = dataclasses.replace(
+        CFG,
+        wavernn_train=dataclasses.replace(
+            CFG.wavernn_train, checkpoint_every=2, steps_per_dispatch=2
+        ),
+        wavernn_gen=dataclasses.replace(CFG.wavernn_gen, batched=False),
+    )
+    state = run_training(
+        cfg,
+        str(gta_dir / "wavernn_training_data.txt"),
+        str(gta_dir),
+        str(tmp_path / "logs_voc_fused"),
+        total_steps=3,
+        use_mesh=False,
+        gen_at_checkpoint=False,
+        log=lambda *a, **k: None,
+    )
+    assert int(state.step) == 3
+    assert os.listdir(tmp_path / "logs_voc_fused" / "checkpoints")
+
+
 def test_wavernn_training_driver_loop(gta_dir, tmp_path):
     from tacotronv2_wavernn_chinese_tpu.train.wavernn_train import run_training
 

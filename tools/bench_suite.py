@@ -101,6 +101,29 @@ def main() -> None:
     dt = timed(train_once, key)
     emit("tacotron_train_step_seconds", dt, "s/step", batch_size=B, frames=T_out)
 
+    # fused K-step dispatch (train_step_many): amortizes the per-dispatch
+    # host RTT; the effective per-step time is dispatch/K
+    K = 4 if args.quick else 8
+    batches = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), batch
+    )
+    fused_state_box = [TT.init_state(jax.random.PRNGKey(0), cfg)]
+
+    def train_fused(k):
+        s2, metrics = TT.train_step_many(fused_state_box[0], batches, k, cfg)
+        fused_state_box[0] = s2
+        return metrics["loss"]
+
+    dt_k = timed(train_fused, key)
+    emit(
+        "tacotron_train_step_fused_seconds",
+        dt_k / K,
+        "s/step",
+        batch_size=B,
+        frames=T_out,
+        steps_per_dispatch=K,
+    )
+
     # ---- tacotron AR decode ----------------------------------------------
     # Marginal-rate methodology: (a) random-init params fire the stop token
     # at step 1, so the stop projection bias is forced to -20 to make every
@@ -193,6 +216,26 @@ def main() -> None:
 
     dt = timed(wtrain_once, key)
     emit("wavernn_train_step_seconds", dt, "s/step", batch_size=Bw, seq_len=sf * hop)
+
+    wbatches = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), wbatch
+    )
+    wfused_box = [WT.init_state(jax.random.PRNGKey(0), cfg)]
+
+    def wtrain_fused(k):
+        s2, metrics = WT.train_step_many(wfused_box[0], wbatches, cfg)
+        wfused_box[0] = s2
+        return metrics["loss"]
+
+    dt_k = timed(wtrain_fused, key)
+    emit(
+        "wavernn_train_step_fused_seconds",
+        dt_k / K,
+        "s/step",
+        batch_size=Bw,
+        seq_len=sf * hop,
+        steps_per_dispatch=K,
+    )
 
     # ---- wavernn generation ----------------------------------------------
     T_mel = 500 if args.quick else 3000
