@@ -156,6 +156,15 @@ def _masked_softmax(energy, mask, smoothing: bool = False):
 # ---------------------------------------------------------------------------
 
 
+GMM_DROPOUT = 0.2  # reference gmm_attention.py:28
+
+
+def gmm_dropout_mask(key, batch: int, q_dim: int, v_dim: int) -> jax.Array:
+    """The keep-mask _gmm_step would draw from ``key`` at train time
+    (hot-loop precompute; see layers.apply_dropout_mask)."""
+    return jax.random.bernoulli(key, 1.0 - GMM_DROPOUT, (batch, q_dim + v_dim))
+
+
 def step(
     params,
     cfg: TacotronModelConfig,
@@ -166,6 +175,7 @@ def step(
     mask: jax.Array,  # [B, T] 1/0 valid mask
     train: bool,
     rng: jax.Array | None = None,
+    drop_mask: jax.Array | None = None,
 ):
     mode = cfg.attention_mode
     if mode == "forward":
@@ -173,7 +183,7 @@ def step(
     if mode == "lsa":
         return _lsa_step(params, cfg, query, state, keys, values, mask, train)
     if mode == "gmm":
-        return _gmm_step(params, cfg, query, state, values, mask, train, rng)
+        return _gmm_step(params, cfg, query, state, values, mask, train, rng, drop_mask)
     if mode == "graves":
         return _graves_step(params, cfg, query, state, values, mask)
     raise ValueError(mode)
@@ -271,10 +281,12 @@ def _lsa_step(params, cfg, query, state, keys, values, mask, train):
     return context, align, new_state
 
 
-def _gmm_step(params, cfg, query, state, values, mask, train, rng):
+def _gmm_step(params, cfg, query, state, values, mask, train, rng, drop_mask=None):
     """GMM (v0) attention (reference gmm_attention.py:25-67)."""
     inputs = jnp.concatenate([query, state.context], axis=-1)
-    if train and rng is not None:
+    if train and drop_mask is not None:
+        inputs = L.apply_dropout_mask(drop_mask, inputs, GMM_DROPOUT)
+    elif train and rng is not None:
         inputs = L.dropout(rng, inputs, 0.2, enabled=True)
     p = jnp.exp(L.dense(params["gmm_layer"], inputs))  # [B, 3K]
     K = cfg.num_attn_mixtures

