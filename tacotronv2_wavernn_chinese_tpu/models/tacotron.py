@@ -212,13 +212,22 @@ def decoder_step(
     mem_mask: jax.Array,
     train: bool,
     rand: StepRand,
+    pre: jax.Array | None = None,
 ):
     """One decoder step (reference Architecture_wrappers.py:175-218):
     prenet -> concat(context) -> 2x ZoneoutLSTM -> attention -> projections.
 
     ``rand`` carries the step's precomputed dropout/zoneout masks
-    (step_rand_from_key) — the step itself runs zero RNG ops."""
-    pre = L.prenet(params["prenet"], prev_frame, None, cfg.dropout_rate, masks=rand.pre)
+    (step_rand_from_key) — the step itself runs zero RNG ops.  ``pre``
+    (optional) is the step's prenet output computed OUTSIDE the loop: under
+    full teacher forcing the prenet inputs are the ground-truth frames, so
+    decode_teacher_forced batches the whole prenet into one [T*B] matmul
+    (bit-identical: same contraction, row-wise)."""
+    pre = (
+        L.prenet(params["prenet"], prev_frame, None, cfg.dropout_rate, masks=rand.pre)
+        if pre is None
+        else pre
+    )
     x = jnp.concatenate([pre, carry.att.context], axis=-1)
     c1, h1 = L.zoneout_lstm_step(
         params["dec_lstm1"], x, carry.c1, carry.h1, None, cfg.zoneout_rate, train, masks=rand.z1
@@ -294,15 +303,29 @@ def decode_teacher_forced(
 
     rands, use_gts = jax.vmap(derive)(step_rngs)
 
+    dec_inputs_t = jnp.swapaxes(dec_inputs, 0, 1)  # [T, B, M]
+    pre_all = None
+    if always_gt:
+        # Full teacher forcing: every step's prenet input is known up front,
+        # so run the whole prenet as ONE batched [T*B] matmul on the MXU
+        # instead of two small matmuls per scan iteration.  Uses the same
+        # per-step masks, and a batched dense contracts row-wise exactly
+        # like the per-step dense — bit-identical outputs.
+        pre_all = L.prenet(
+            params["prenet"], dec_inputs_t, None, cfg.dropout_rate, masks=rands.pre
+        )
+        rands = rands._replace(pre=None)  # consumed above; drop from the scan xs
+
     def body(carry, inp):
         dec_carry, prev_pred = carry
-        gt_frame, rand, use_gt = inp
+        gt_frame, rand, use_gt, pre = inp
         if always_gt:
             prev_frame = gt_frame
         else:
             prev_frame = jnp.where(use_gt, gt_frame, prev_pred)
         frames, stop, align, dec_carry = decoder_step(
-            params, cfg, prev_frame, dec_carry, keys, memory, mem_mask, train, rand
+            params, cfg, prev_frame, dec_carry, keys, memory, mem_mask, train, rand,
+            pre=pre,
         )
         return (dec_carry, frames[:, -M:]), (frames, stop, align)
 
@@ -311,7 +334,7 @@ def decode_teacher_forced(
         jnp.zeros((B, M), mel_targets.dtype),
     )
     _, (frames, stops, aligns) = jax.lax.scan(
-        body, carry0, (jnp.swapaxes(dec_inputs, 0, 1), rands, use_gts)
+        body, carry0, (dec_inputs_t, rands, use_gts, pre_all)
     )
     frames = jnp.swapaxes(frames, 0, 1).reshape(B, T_out, M)
     stops = jnp.swapaxes(stops, 0, 1).reshape(B, T_out)

@@ -244,14 +244,27 @@ def test_microbatching_groups_by_seed():
 
 
 def test_microbatch_error_propagates_to_all_waiters():
+    """Deterministic coalescing via events (sleep-based timing was flaky
+    under full-suite load): the leader blocks inside its device call until
+    BOTH followers are queued, so they must ride one synthesize_batch."""
+    import time
+
     cfg = tiny_cfg()
-    service = srv.TTSService(cfg, _StubSynth(), max_batch=8)
+    stub = _StubSynth(delay=0.0)
+    service = srv.TTSService(cfg, stub, max_batch=8)
+    entered, hold = threading.Event(), threading.Event()
+    orig_single = stub.synthesize
+
+    def slow_single(text, seed=0, out_dir=None):
+        entered.set()
+        assert hold.wait(timeout=20)
+        return orig_single(text, seed=seed)
 
     def boom(texts, seed=0):
-        service.synth._t.sleep(0.05)
         raise RuntimeError("device on fire")
 
-    service.synth.synthesize_batch = boom
+    stub.synthesize = slow_single
+    stub.synthesize_batch = boom
     errors = []
 
     def worker(i):
@@ -260,15 +273,21 @@ def test_microbatch_error_propagates_to_all_waiters():
         except RuntimeError as e:
             errors.append(str(e))
 
-    threads = [threading.Thread(target=worker, args=(0,))]
-    threads[0].start()
-    import time
-
-    time.sleep(0.05)
-    for i in range(1, 3):
-        threads.append(threading.Thread(target=worker, args=(i,)))
-        threads[-1].start()
-    for t in threads:
-        t.join(timeout=10)
+    leader = threading.Thread(target=worker, args=(0,))
+    leader.start()
+    assert entered.wait(timeout=20)  # leader holds the device
+    followers = [threading.Thread(target=worker, args=(i,)) for i in (1, 2)]
+    for t in followers:
+        t.start()
+    for _ in range(2000):  # wait until both followers are queued
+        with service._mutex:
+            if len(service._queue) == 2:
+                break
+        time.sleep(0.005)
+    else:
+        raise AssertionError("followers never queued")
+    hold.set()
+    for t in [leader] + followers:
+        t.join(timeout=20)
     # requests 1-2 batched -> both get the error; request 0 (single) succeeded
     assert errors == ["device on fire", "device on fire"]
