@@ -287,7 +287,7 @@ def _gmm_step(params, cfg, query, state, values, mask, train, rng, drop_mask=Non
     if train and drop_mask is not None:
         inputs = L.apply_dropout_mask(drop_mask, inputs, GMM_DROPOUT)
     elif train and rng is not None:
-        inputs = L.dropout(rng, inputs, 0.2, enabled=True)
+        inputs = L.dropout(rng, inputs, GMM_DROPOUT, enabled=True)
     p = jnp.exp(L.dense(params["gmm_layer"], inputs))  # [B, 3K]
     K = cfg.num_attn_mixtures
     alpha_m, beta, kappa_d = p[:, :K], p[:, K : 2 * K], p[:, 2 * K :]

@@ -81,16 +81,20 @@ def conv1d_init(key, width: int, in_ch: int, out_ch: int, use_bias: bool = True)
     return p
 
 
+def promote_conv_operands(x: jax.Array, w: jax.Array):
+    """lax.conv requires matching dtypes (no promotion): under the
+    mixed-precision policy (utils/precision.py) weights arrive bf16 —
+    promote both sides (conv kernels are tiny, so f32 compute here costs
+    nothing; the MXU runs f32 convs as bf16 passes anyway)."""
+    if w.dtype != x.dtype:
+        dt = jnp.promote_types(w.dtype, x.dtype)
+        return x.astype(dt), w.astype(dt)
+    return x, w
+
+
 def conv1d(p: Params, x: jax.Array, dilation: int = 1) -> jax.Array:
     """SAME-padded 1-D convolution over [B, T, C]."""
-    w = p["w"]
-    if w.dtype != x.dtype:
-        # lax.conv requires matching dtypes (no promotion): under the
-        # mixed-precision policy (utils/precision.py) weights arrive bf16 —
-        # promote both sides (conv kernels are tiny, so f32 compute here
-        # costs nothing; the MXU runs f32 convs as bf16 passes anyway)
-        dt = jnp.promote_types(w.dtype, x.dtype)
-        x, w = x.astype(dt), w.astype(dt)
+    x, w = promote_conv_operands(x, p["w"])
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -190,6 +194,12 @@ def zoneout(key, new: jax.Array, prev: jax.Array, rate: float, train: bool, mask
         return new
     if train:
         if mask is None:
+            if key is None:
+                raise ValueError(
+                    "zoneout in train mode needs a key or a precomputed mask "
+                    "(did a caller build StepRand with train=False but run "
+                    "the step with train=True?)"
+                )
             mask = jax.random.bernoulli(key, 1.0 - rate, new.shape)
         return jnp.where(mask, new - prev, 0.0) + prev
     return (1.0 - rate) * new + rate * prev

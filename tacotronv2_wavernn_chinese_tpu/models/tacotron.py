@@ -294,11 +294,9 @@ def decode_teacher_forced(
     def derive(k):
         k_step, k_tf = jax.random.split(k)
         rand = step_rand_from_key(params, cfg, k_step, B, train)
-        use_gt = (
-            jnp.zeros((B, 1), bool)
-            if always_gt
-            else jax.random.uniform(k_tf, (B, 1)) < ratio
-        )
+        # None under full teacher forcing (not a dummy array: a False value
+        # here would mean "use the model's own prediction", the opposite)
+        use_gt = None if always_gt else jax.random.uniform(k_tf, (B, 1)) < ratio
         return rand, use_gt
 
     rands, use_gts = jax.vmap(derive)(step_rngs)

@@ -100,12 +100,7 @@ def _upsample_init(key, cfg: WaveRNNModelConfig) -> Params:
 
 
 def _conv1d_valid(p: Params, x: jax.Array) -> jax.Array:
-    w = p["w"]
-    if w.dtype != x.dtype:
-        # lax.conv doesn't promote; under mixed precision weights are bf16
-        # (utils/precision.py) — promote both sides, conv kernels are tiny
-        dt = jnp.promote_types(w.dtype, x.dtype)
-        x, w = x.astype(dt), w.astype(dt)
+    x, w = L.promote_conv_operands(x, p["w"])
     y = jax.lax.conv_general_dilated(
         x, w, (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
     )

@@ -46,7 +46,12 @@ def teacher_forcing_schedule(cfg: Config, step):
     init to final ratio (reference helpers.py:153-186)."""
     tc = cfg.tacotron_train
     if tc.teacher_forcing_mode == "constant":
-        return jnp.asarray(tc.teacher_forcing_ratio, jnp.float32)
+        # return the bare float: decode_teacher_forced's static always_gt
+        # fast path (pre-scan batched prenet, no per-step uniform draw)
+        # keys off a PYTHON number >= 1.0 — a traced array would disable it
+        # for every real training step (bit-identity between the two paths
+        # is pinned by test_teacher_forcing_static_ratio_matches_traced)
+        return float(tc.teacher_forcing_ratio)
     # one decay floor, reference-style: alpha = final/init when final_ratio
     # is set, else the explicit cosine-decay alpha
     if tc.teacher_forcing_final_ratio is not None:

@@ -34,6 +34,7 @@ from ..utils.checkpoints import CheckpointManager
 from ..utils.metrics import MetricsWriter, Profiler
 from ..utils.plot import plot_alignment, plot_spectrogram
 from . import tacotron_task as task
+from .grouping import fused_groups
 
 
 class LossExplosion(Exception):
@@ -155,25 +156,12 @@ def run_training(
 
     with ctx:
         while step < total_steps:
-            buf: dict = {}
-            for batch in dataset.batches(epoch_seed=tc.data_seed + epoch):
-                if step >= total_steps:
-                    break
-                if spd == 1 or step + spd > total_steps:
-                    dispatch([batch])
-                    continue
-                # group same-bucket (same static shape) batches for one
-                # fused train_step_many dispatch
-                key = (batch.inputs.shape, batch.mel_targets.shape)
-                buf.setdefault(key, []).append(batch)
-                if len(buf[key]) == spd:
-                    dispatch(buf.pop(key))
-            # epoch tail: flush part-filled groups one step at a time so only
-            # the (1, spd) dispatch shapes ever compile
-            for group in buf.values():
-                for b in group:
-                    if step < total_steps:
-                        dispatch([b])
+            stream = dataset.batches(epoch_seed=tc.data_seed + epoch)
+            for group in fused_groups(
+                stream, spd, lambda: step, total_steps,
+                key_fn=lambda b: (b.inputs.shape, b.mel_targets.shape),
+            ):
+                dispatch(group)
             epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()

@@ -33,6 +33,7 @@ from ..utils import logging as infolog
 from ..utils.checkpoints import CheckpointManager
 from ..utils.metrics import MetricsWriter
 from . import wavernn_task as task
+from .grouping import fused_groups
 
 
 def run_training(
@@ -138,20 +139,10 @@ def run_training(
                 _gen_testset(cfg, state.params, dataset, out_dir, step, log)
 
     while step < total_steps:
-        pending = []
-        for batch in batch_stream(epoch):
-            if step >= total_steps:
-                break
-            if spd == 1 or step + spd > total_steps:
-                dispatch([batch])
-                continue
-            pending.append(batch)
-            if len(pending) == spd:
-                dispatch(pending)
-                pending = []
-        for b in pending:  # epoch tail: singles (only shapes (1, spd) compile)
-            if step < total_steps:
-                dispatch([b])
+        # vocoder windows are fixed-size, so any spd consecutive batches
+        # stack (no key_fn needed)
+        for group in fused_groups(batch_stream(epoch), spd, lambda: step, total_steps):
+            dispatch(group)
         epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()

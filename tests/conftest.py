@@ -20,3 +20,43 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def make_tiny_cfg(**train_kw):
+    """Shared tiny model config for fast CPU tests (importable via
+    ``from conftest import make_tiny_cfg``).  ``train_kw`` overrides apply
+    to BOTH tacotron_train and wavernn_train."""
+    import dataclasses
+
+    from tacotronv2_wavernn_chinese_tpu.config import default_config
+
+    cfg = default_config()
+    return dataclasses.replace(
+        cfg,
+        tacotron=dataclasses.replace(
+            cfg.tacotron,
+            embedding_dim=32,
+            enc_conv_channels=32,
+            enc_conv_layers=2,
+            encoder_lstm_units=32,
+            attention_dim=16,
+            attention_filters=8,
+            attention_kernel=7,
+            prenet_layers=(32, 32),
+            decoder_lstm_units=32,
+            postnet_channels=32,
+            postnet_layers=2,
+        ),
+        wavernn=dataclasses.replace(
+            cfg.wavernn,
+            upsample_factors=(2, 2, 5),
+            rnn_dims=32,
+            fc_dims=32,
+            compute_dims=16,
+            res_out_dims=16,
+            res_blocks=2,
+        ),
+        audio=dataclasses.replace(cfg.audio, hop_size=20, bits=8),
+        tacotron_train=dataclasses.replace(cfg.tacotron_train, **train_kw),
+        wavernn_train=dataclasses.replace(cfg.wavernn_train, **train_kw),
+    )

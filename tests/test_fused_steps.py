@@ -12,39 +12,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tacotronv2_wavernn_chinese_tpu.config import default_config
+from conftest import make_tiny_cfg as tiny_cfg
 from tacotronv2_wavernn_chinese_tpu.train import tacotron_task, wavernn_task
 
-
-def tiny_cfg():
-    cfg = default_config()
-    return dataclasses.replace(
-        cfg,
-        tacotron=dataclasses.replace(
-            cfg.tacotron,
-            embedding_dim=32,
-            enc_conv_channels=32,
-            enc_conv_layers=2,
-            encoder_lstm_units=32,
-            attention_dim=16,
-            attention_filters=8,
-            attention_kernel=7,
-            prenet_layers=(32, 32),
-            decoder_lstm_units=32,
-            postnet_channels=32,
-            postnet_layers=2,
-        ),
-        wavernn=dataclasses.replace(
-            cfg.wavernn,
-            upsample_factors=(2, 2, 5),
-            rnn_dims=32,
-            fc_dims=32,
-            compute_dims=16,
-            res_out_dims=16,
-            res_blocks=2,
-        ),
-        audio=dataclasses.replace(cfg.audio, hop_size=20, bits=8),
-    )
 
 
 def _taco_batches(K=3, B=2, T_in=10, T_out=20):
