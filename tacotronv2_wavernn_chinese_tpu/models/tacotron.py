@@ -240,8 +240,15 @@ def decoder_step(
         drop_mask=rand.att,
     )
     proj_in = jnp.concatenate([h2, context], axis=-1)
-    frames = L.dense(params["frame_projection"], proj_in)  # [B, M*r]
-    stop = L.dense(params["stop_projection"], proj_in)  # [B, r]
+    # frame + stop projections share proj_in, so run them as ONE dense over
+    # the concatenated output columns (bitwise identical: same contraction,
+    # per-column) — one fewer matmul on the scan's critical path.  The
+    # concat of loop-invariant weights is hoisted out of the loop by XLA.
+    w = jnp.concatenate([params["frame_projection"]["w"], params["stop_projection"]["w"]], axis=1)
+    b = jnp.concatenate([params["frame_projection"]["b"], params["stop_projection"]["b"]])
+    out = proj_in @ w + b
+    n_frame = params["frame_projection"]["w"].shape[1]
+    frames, stop = out[:, :n_frame], out[:, n_frame:]  # [B, M*r], [B, r]
     return frames, stop, align, DecoderCarry(c1, h1, c2, h2, att_state)
 
 
