@@ -377,13 +377,21 @@ def decode_autoregressive(
     finished0 = jnp.zeros((B,), bool)
     stop_len0 = jnp.full((B,), T * r, jnp.int32)  # frames, not steps
 
+    # Per-step randomness hoisted out of the while_loop (eval: only the
+    # always-on prenet dropout draws), indexed by t inside the body — the
+    # same fold_in(rng, t) derivation, so masks are bit-identical to
+    # drawing in place.  [T, B, size] bools are tiny (T<=max_iters 2000).
+    rands_all = jax.vmap(
+        lambda k: step_rand_from_key(params, cfg, k, B, False)
+    )(jax.vmap(lambda t: jax.random.fold_in(rng, t))(jnp.arange(T)))
+
     def cond(loop):
         t, _, _, _, _, _, finished, _ = loop
         return (t < T) & ~jnp.all(finished)
 
     def body(loop):
         t, carry, prev, fb, sb, ab, finished, stop_len = loop
-        rand = step_rand_from_key(params, cfg, jax.random.fold_in(rng, t), B, False)
+        rand = jax.tree_util.tree_map(lambda m: m[t], rands_all)
         frames, stop, align, carry = decoder_step(
             params, cfg, prev, carry, keys, memory, mem_mask, False, rand
         )
