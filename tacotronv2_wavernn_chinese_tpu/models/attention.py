@@ -136,10 +136,19 @@ def precompute_keys(params, cfg: TacotronModelConfig, memory: jax.Array) -> jax.
 
 
 def _location_energy(params, query, conv_input, keys):
-    """v . tanh(W_keys + W_query + W_fil conv(align) + b) (attention.py:9-41)."""
+    """v . tanh(W_keys + W_query + W_fil conv(align) + b) (attention.py:9-41).
+
+    The location conv (1->F) and location dense (F->A, no bias) are
+    precombined into ONE conv (1->A): both are linear, so
+    dense(conv(x) + b_c) == conv_combined(x) + b_c @ W_dense.  The combined
+    kernel/bias depend only on weights — loop-invariant, hoisted out of the
+    decode loop by XLA — which removes a [B,T,F]@[F,A] matmul from every
+    decoder step."""
     pq = L.dense(params["query_layer"], query)[:, None, :]  # [B,1,A]
-    f = L.conv1d(params["location_conv"], conv_input[..., None])  # [B,T,F]
-    loc = L.dense(params["location_layer"], f)  # [B,T,A]
+    w_loc = params["location_layer"]["w"]  # [F, A]
+    w_comb = jnp.einsum("kif,fa->kia", params["location_conv"]["w"], w_loc)
+    b_comb = params["location_conv"]["b"] @ w_loc  # [A]
+    loc = L.conv1d({"w": w_comb}, conv_input[..., None]) + b_comb  # [B,T,A]
     return jnp.sum(params["v"] * jnp.tanh(keys + pq + loc + params["b"]), axis=-1)
 
 
