@@ -146,8 +146,13 @@ def _location_energy(params, query, conv_input, keys):
     decoder step."""
     pq = L.dense(params["query_layer"], query)[:, None, :]  # [B,1,A]
     w_loc = params["location_layer"]["w"]  # [F, A]
-    w_comb = jnp.einsum("kif,fa->kia", params["location_conv"]["w"], w_loc)
-    b_comb = params["location_conv"]["b"] @ w_loc  # [A]
+    # precision='highest': the TPU default runs matmuls as bf16 passes,
+    # which would bake ~1e-3 relative error INTO the combined weights; this
+    # is a tiny one-time weight-weight contraction, so full f32 is free
+    w_comb = jnp.einsum(
+        "kif,fa->kia", params["location_conv"]["w"], w_loc, precision="highest"
+    )
+    b_comb = jnp.matmul(params["location_conv"]["b"], w_loc, precision="highest")
     loc = L.conv1d({"w": w_comb}, conv_input[..., None]) + b_comb  # [B,T,A]
     return jnp.sum(params["v"] * jnp.tanh(keys + pq + loc + params["b"]), axis=-1)
 

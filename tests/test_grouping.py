@@ -6,19 +6,12 @@ from tacotronv2_wavernn_chinese_tpu.train.grouping import fused_groups
 class Counter:
     """Stands in for the driver's live step counter."""
 
-    def __init__(self, start=0):
-        self.step = start
-
-    def advance_by_group(self, groups):
-        out = []
-        for g in groups:
-            out.append(g)
-            self.step += len(g)
-        return out
+    def __init__(self):
+        self.step = 0
 
 
-def _drain(batches, spd, total, start=0, key_fn=None):
-    c = Counter(start)
+def _drain(batches, spd, total, key_fn=None):
+    c = Counter()
     groups = []
     for g in fused_groups(iter(batches), spd, lambda: c.step, total, key_fn):
         groups.append(g)
@@ -55,11 +48,9 @@ def test_near_total_steps_forces_singles():
 def test_key_fn_groups_same_shape_only():
     batches = ["a1", "b1", "a2", "b2", "a3", "b3"]
     groups, step = _drain(batches, 2, 100, key_fn=lambda b: b[0])
-    # a's and b's group separately, in arrival order of completion
-    assert ["".join(g) for g in groups] == ["a1a2", "b1b2"] + [
-        "a3",
-        "b3",
-    ] or step == 6
+    # a's and b's group separately, in arrival order of completion; the
+    # odd-one-out of each key flushes singly at the tail
+    assert ["".join(g) for g in groups] == ["a1a2", "b1b2", "a3", "b3"]
     assert step == 6
     flat = [b for g in groups for b in g]
     assert sorted(flat) == sorted(batches)
