@@ -54,6 +54,17 @@ def test_zoneout_train_vs_eval():
     np.testing.assert_allclose(np.asarray(ev), 0.9)
     tr = np.asarray(L.zoneout(jax.random.PRNGKey(0), new, prev, 0.5, train=True))
     assert set(np.unique(tr)).issubset({0.0, 1.0})
+    # precomputed-mask path matches the keyed path exactly
+    mc, mh = L.zoneout_masks(jax.random.PRNGKey(0), 0.5, new.shape)
+    tr_mask = np.asarray(L.zoneout(None, new, prev, 0.5, train=True, mask=mc))
+    kc = jax.random.split(jax.random.PRNGKey(0))[0]
+    np.testing.assert_array_equal(
+        tr_mask, np.asarray(L.zoneout(kc, new, prev, 0.5, train=True))
+    )
+    # train mode with neither key nor mask is a clear error, not an opaque
+    # bernoulli(None) crash deep inside a scan trace
+    with pytest.raises(ValueError, match="zoneout in train mode"):
+        L.zoneout(None, new, prev, 0.5, train=True)
 
 
 @pytest.mark.parametrize("mode", ["forward", "lsa", "gmm", "graves"])
