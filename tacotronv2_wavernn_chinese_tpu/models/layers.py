@@ -175,6 +175,23 @@ def lstm_init(key, in_dim: int, units: int) -> Params:
 def lstm_step(p: Params, x: jax.Array, c: jax.Array, h: jax.Array):
     """One LSTM step; gate order (i, j, f, o), forget bias 1.0 (TF LSTMCell)."""
     z = jnp.concatenate([x, h], axis=-1) @ p["w"] + p["b"]
+    return _lstm_gates(z, c)
+
+
+def lstm_step_from_gates(p: Params, zx: jax.Array, c: jax.Array, h: jax.Array):
+    """LSTM step with the input projection precomputed (``zx = x @ w[:D]``).
+
+    Hot-loop form: when the whole input sequence is known up front, the
+    x-side of the gate matmul runs as ONE batched matmul before the scan and
+    only ``h @ w[D:]`` stays sequential.  Splitting the concat-dot changes
+    f32 summation association, so results are within-rounding (not
+    bit-exact) vs lstm_step."""
+    units = h.shape[-1]
+    z = zx + h @ p["w"][p["w"].shape[0] - units :] + p["b"]
+    return _lstm_gates(z, c)
+
+
+def _lstm_gates(z: jax.Array, c: jax.Array):
     i, j, f, o = jnp.split(z, 4, axis=-1)
     new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(j)
     new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
@@ -215,8 +232,11 @@ def zoneout_masks(key, rate: float, shape) -> tuple[jax.Array, jax.Array]:
     )
 
 
-def zoneout_lstm_step(p, x, c, h, key, rate: float, train: bool, masks=None):
-    new_c, new_h = lstm_step(p, x, c, h)
+def zoneout_lstm_step(p, x, c, h, key, rate: float, train: bool, masks=None, zx=None):
+    if zx is not None:
+        new_c, new_h = lstm_step_from_gates(p, zx, c, h)
+    else:
+        new_c, new_h = lstm_step(p, x, c, h)
     if masks is None:
         if key is None or rate == 0.0 or not train:
             mc = mh = None
@@ -254,19 +274,23 @@ def unidir_lstm(
     # over all T steps (bit-identical masks — zoneout_masks reproduces the
     # in-step key derivation) instead of 2 draws + a split per iteration.
     use_masks = train and zoneout_rate > 0.0
-    xs_t = jnp.swapaxes(xs, 0, 1)  # [T, B, D]
+    # Hoist the x-side of the gate matmul out of the scan: the whole input
+    # sequence is known, so [B*T, D] @ w[:D] runs once on the MXU and only
+    # the recurrent h @ w[D:] stays sequential (lstm_step_from_gates).
+    zx_all = jnp.swapaxes(xs, 0, 1) @ p["w"][: xs.shape[-1]]  # [T, B, 4H]
     if use_masks:
         keys = jax.random.split(key, T)
         masks = jax.vmap(lambda k: zoneout_masks(k, zoneout_rate, (B, units)))(keys)
-        xs_scan = (xs_t,) + masks
+        xs_scan = (zx_all,) + masks
     else:
-        xs_scan = (xs_t,)
+        xs_scan = (zx_all,)
 
     def step(carry, inp):
         c, h = carry
-        x, *m = inp
+        zx, *m = inp
         c2, h2 = zoneout_lstm_step(
-            p, x, c, h, None, zoneout_rate, train, masks=tuple(m) if use_masks else None
+            p, None, c, h, None, zoneout_rate, train,
+            masks=tuple(m) if use_masks else None, zx=zx,
         )
         return (c2, h2), h2
 
@@ -308,9 +332,8 @@ def gru_init(key, in_dim: int, units: int) -> Params:
     }
 
 
-def gru_step(p: Params, x: jax.Array, h: jax.Array) -> jax.Array:
-    """torch.nn.GRUCell semantics: n = tanh(Wx + bi + r*(Wh h + bh))."""
-    gi = x @ p["wi"] + p["bi"]
+def gru_step_from_gates(p: Params, gi: jax.Array, h: jax.Array) -> jax.Array:
+    """GRU step from a precomputed input projection ``gi = x @ wi + bi``."""
     gh = h @ p["wh"] + p["bh"]
     ir, iz, inn = jnp.split(gi, 3, axis=-1)
     hr, hz, hn = jnp.split(gh, 3, axis=-1)
@@ -320,17 +343,29 @@ def gru_step(p: Params, x: jax.Array, h: jax.Array) -> jax.Array:
     return (1.0 - z) * n + z * h
 
 
+def gru_step(p: Params, x: jax.Array, h: jax.Array) -> jax.Array:
+    """torch.nn.GRUCell semantics: n = tanh(Wx + bi + r*(Wh h + bh))."""
+    return gru_step_from_gates(p, x @ p["wi"] + p["bi"], h)
+
+
 def gru_scan(p: Params, xs: jax.Array, h0: jax.Array | None = None) -> jax.Array:
-    """GRU over [B, T, D] -> [B, T, H]."""
+    """GRU over [B, T, D] -> [B, T, H].
+
+    The whole input-side projection runs as ONE batched [B*T] matmul before
+    the scan (teacher-forced inputs are fully known), halving the in-loop
+    matmul work; batched dense contracts row-wise exactly like the per-step
+    one, so outputs are bit-identical.  Only the recurrent ``h @ wh``
+    remains sequential."""
     B, T, _ = xs.shape
     H = p["wh"].shape[0]
     h0 = jnp.zeros((B, H)) if h0 is None else h0
+    gi_all = xs @ p["wi"] + p["bi"]  # [B, T, 3H]
 
-    def step(h, x):
-        h2 = gru_step(p, x, h)
+    def step(h, gi):
+        h2 = gru_step_from_gates(p, gi, h)
         return h2, h2
 
-    _, hs = jax.lax.scan(step, h0, jnp.swapaxes(xs, 0, 1))
+    _, hs = jax.lax.scan(step, h0, jnp.swapaxes(gi_all, 0, 1))
     return jnp.swapaxes(hs, 0, 1)
 
 
