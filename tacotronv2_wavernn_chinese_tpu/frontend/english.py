@@ -126,7 +126,16 @@ def collapse_whitespace(text: str) -> str:
 
 
 def convert_to_ascii(text: str) -> str:
-    """Transliterate to ASCII (unidecode replacement via NFKD fold)."""
+    """Transliterate to ASCII (unidecode replacement via NFKD fold).
+
+    Behavioral difference vs the reference (cleaners.py:70, unidecode):
+    NFKD only strips combining marks from decomposable characters, so
+    non-decomposable scripts (hanzi, kana, Cyrillic, ...) are silently
+    DROPPED rather than transliterated ("北" -> "" here vs "Bei " under
+    unidecode). Acceptable for this framework: the English cleaner chain
+    is legacy/unused for the Chinese pipeline, which routes hanzi through
+    frontend.g2p instead.
+    """
     return (
         unicodedata.normalize("NFKD", text).encode("ascii", "ignore").decode("ascii")
     )

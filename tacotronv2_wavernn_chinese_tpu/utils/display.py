@@ -23,32 +23,22 @@ def progbar(i: int, n: int, size: int = 16) -> str:
 
 
 def simple_table(item_tuples: Sequence[tuple]) -> None:
-    """Boxed two-row ASCII table of (heading, value) pairs
-    (reference display.py simple_table)."""
-    border_pattern = "+---------------------------------------"
-    whitespace = "                                            "
-    headings, cells = [], []
-    for heading, cell in item_tuples:
-        heading, cell = str(heading), str(cell)
-        pad = abs(len(heading) - len(cell))
-        pad_left = pad // 2
-        pad_right = pad - pad_left
-        if len(heading) < len(cell):
-            heading = whitespace[:pad_left] + heading + whitespace[:pad_right]
-        else:
-            cell = whitespace[:pad_left] + cell + whitespace[:pad_right]
-        headings.append(heading)
-        cells.append(cell)
-    border, head_row, cell_row = "", "", ""
-    for h, c in zip(headings, cells):
-        border += border_pattern[: len(h) + 3]
-        head_row += f"| {h} "
-        cell_row += f"| {c} "
-    border += "+"
+    """Boxed two-row ASCII table of (heading, value) pairs.
+
+    Same console contract as the reference's wavernn/utils/display.py
+    simple_table; widths are computed per column (no fixed-width padding
+    constants), headings and values are centered.
+    """
+    headings = [str(h) for h, _ in item_tuples]
+    cells = [str(c) for _, c in item_tuples]
+    widths = [max(len(h), len(c)) for h, c in zip(headings, cells)]
+    border = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    head_row = "|" + "|".join(f" {h.center(w)} " for h, w in zip(headings, widths)) + "|"
+    cell_row = "|" + "|".join(f" {c.center(w)} " for c, w in zip(cells, widths)) + "|"
     print(border)
-    print(head_row + "|")
+    print(head_row)
     print(border)
-    print(cell_row + "|")
+    print(cell_row)
     print(border)
     print(" ")
 
