@@ -203,6 +203,61 @@ def step(
     raise ValueError(mode)
 
 
+def anti_repeat_constrain(align, max_att, prev_max, prev_pos_rec, cfg):
+    """Vectorized port of the long-sentence anti-repeat/dwell-limit logic
+    (reference forward_attention.py:176-215, the variant whose block is
+    ENABLED at inference): forces monotonic argmax, caps dwell time at a
+    position, windows alignments to [max-2, max+3), and re-weights the
+    argmax bin.  Returns (align pre-renormalize, max_att, pos_rec).
+
+    Golden-tested step-for-step against a scalar per-example oracle of the
+    reference logic in tests/test_constraint_oracles.py.
+
+    NOTE: the near-identical block in attention.py (dead behind `and
+    False`) differs slightly: boost 1e-1 + att_sum * 2.0, dwell thres 9;
+    this implements the live forward_attention.py variant (boost
+    att_sum * 2.0, thres 10 — cfg.dwell_limit_rest).
+    """
+    T = align.shape[-1]
+    pos = jnp.arange(T)[None, :]
+    max_att = jnp.where(max_att <= prev_max, prev_max, prev_max + 1)
+    # early positions may not run ahead before dwell warm-up
+    short_mask = (prev_pos_rec < cfg.dwell_limit_first) & (max_att > 2)
+    max_att = jnp.where(short_mask, prev_max, max_att)
+    stayed = max_att == prev_max
+    pos_rec = jnp.where(stayed, prev_pos_rec + 1, 1)
+    over = pos_rec >= cfg.dwell_limit_rest
+    max_att = jnp.where(over, max_att + 1, max_att)
+    pos_rec = jnp.where(over, 1, pos_rec)
+    # window alignments to [max-2, max+3)
+    window = (pos >= (max_att - 2)[:, None]) & (pos < (max_att + 3)[:, None])
+    align = jnp.where(window, align, 0.0)
+    # boost the argmax bin (clipped to the last input position, and with
+    # the reference's near-zero-sum guard so the renormalize can never
+    # divide 0/0 once max_att runs past T-1 — forward_attention.py:205-216)
+    att_sum = jnp.sum(align, axis=-1, keepdims=True)
+    att_sum = jnp.where(att_sum < 1e-10, 1.0, att_sum)
+    at_max = pos == jnp.clip(max_att, 0, T - 1)[:, None]
+    align = jnp.where(at_max, att_sum * 2.0, align)
+    return align, max_att, pos_rec
+
+
+def lsa_window_valid(prev_max, T: int, cfg):
+    """Synthesis-window validity mask for LSA attention (reference
+    location_sensitive_attention.py:201-214): 'monotonic' keeps
+    [prev, prev+w); 'window' keeps [prev - ceil(w/2), prev + w//2).
+    Returns bool [B, T].  Golden-tested against a tf.sequence_mask oracle
+    in tests/test_constraint_oracles.py."""
+    pos = jnp.arange(T)[None, :]
+    prev = prev_max[:, None]
+    w = cfg.synthesis_window
+    if cfg.anti_repeat:  # 'monotonic' type: only look forward w steps
+        return (pos >= prev) & (pos < prev + w)
+    # 'window' type: +/- w neighborhood (exclusive upper bound)
+    back = w // 2 + (w % 2)
+    return (pos >= prev - back) & (pos < prev + w // 2)
+
+
 def _forward_step(params, cfg, query, state, keys, values, mask, train):
     """Forward + location-sensitive hybrid (reference attention.py:119-231)."""
     energy = _location_energy(params, query, state.cumulated, keys)
@@ -218,36 +273,9 @@ def _forward_step(params, cfg, query, state, keys, values, mask, train):
     pos_rec = state.pos_rec
 
     if cfg.anti_repeat and not train:
-        # Vectorized port of the long-sentence anti-repeat/dwell-limit logic
-        # (reference forward_attention.py:176-215): forces monotonic argmax,
-        # caps dwell time at a position, windows alignments to
-        # [max-2, max+3), and re-weights the argmax bin.
-        T = align.shape[-1]
-        pos = jnp.arange(T)[None, :]
-        max_att = jnp.where(max_att <= state.max_attention, state.max_attention, state.max_attention + 1)
-        # early positions may not run ahead before dwell warm-up
-        short_mask = (state.pos_rec < cfg.dwell_limit_first) & (max_att > 2)
-        max_att = jnp.where(short_mask, state.max_attention, max_att)
-        stayed = max_att == state.max_attention
-        pos_rec = jnp.where(stayed, state.pos_rec + 1, 1)
-        over = pos_rec >= cfg.dwell_limit_rest
-        max_att = jnp.where(over, max_att + 1, max_att)
-        pos_rec = jnp.where(over, 1, pos_rec)
-        # window alignments to [max-2, max+3)
-        window = (pos >= (max_att - 2)[:, None]) & (pos < (max_att + 3)[:, None])
-        align = jnp.where(window, align, 0.0)
-        # boost the argmax bin (clipped to the last input position, and with
-        # the reference's near-zero-sum guard so the renormalize below can
-        # never divide 0/0 once max_att runs past T-1 —
-        # forward_attention.py:205-216)
-        # NOTE: this mirrors forward_attention.py (the variant whose block is
-        # ENABLED at inference): boost = att_sum * 2.0, dwell thres 10.  The
-        # near-identical attention.py block (dead behind `and False`) differs
-        # slightly there: boost 1e-1 + att_sum * 2.0, thres 9.
-        att_sum = jnp.sum(align, axis=-1, keepdims=True)
-        att_sum = jnp.where(att_sum < 1e-10, 1.0, att_sum)
-        at_max = pos == jnp.clip(max_att, 0, T - 1)[:, None]
-        align = jnp.where(at_max, att_sum * 2.0, align)
+        align, max_att, pos_rec = anti_repeat_constrain(
+            align, max_att, state.max_attention, state.pos_rec, cfg
+        )
 
     align = align / jnp.sum(align, axis=-1, keepdims=True)
     context = jnp.einsum("bt,btv->bv", align, values)
@@ -271,16 +299,7 @@ def _lsa_step(params, cfg, query, state, keys, values, mask, train):
     (reference location_sensitive_attention.py:169-226)."""
     energy = _location_energy(params, query, state.alignments, keys)
     if cfg.synthesis_constraint and not train:
-        T = energy.shape[-1]
-        pos = jnp.arange(T)[None, :]
-        prev = state.max_attention[:, None]
-        w = cfg.synthesis_window
-        if cfg.anti_repeat:  # 'monotonic' type: only look forward w steps
-            valid = (pos >= prev) & (pos < prev + w)
-        else:  # 'window' type: +/- w neighborhood (exclusive upper bound,
-            # reference location_sensitive_attention.py:209-210)
-            back = w // 2 + (w % 2)
-            valid = (pos >= prev - back) & (pos < prev + w // 2)
+        valid = lsa_window_valid(state.max_attention, energy.shape[-1], cfg)
         energy = jnp.where(valid, energy, NEG_INF)
     align = _masked_softmax(energy, mask, cfg.smoothing)
     max_att = jnp.argmax(align, axis=-1).astype(jnp.int32)

@@ -233,6 +233,13 @@ def zoneout_masks(key, rate: float, shape) -> tuple[jax.Array, jax.Array]:
 
 
 def zoneout_lstm_step(p, x, c, h, key, rate: float, train: bool, masks=None, zx=None):
+    """Returns ``(c_carry, h_carry, out)``.
+
+    Matches the reference ZoneoutLSTMCell exactly (modules.py:114-142 +
+    tf LSTMCell): zoneout mixes only the RECURRENT state — the cell's
+    per-step ``output`` handed downstream (next stacked cell, attention
+    query, dynamic_rnn outputs) is the raw pre-zoneout ``new_h``.
+    """
     if zx is not None:
         new_c, new_h = lstm_step_from_gates(p, zx, c, h)
     else:
@@ -247,6 +254,7 @@ def zoneout_lstm_step(p, x, c, h, key, rate: float, train: bool, masks=None, zx=
     return (
         zoneout(None, new_c, c, rate, train, mask=mc),
         zoneout(None, new_h, h, rate, train, mask=mh),
+        new_h,
     )
 
 
@@ -288,11 +296,13 @@ def unidir_lstm(
     def step(carry, inp):
         c, h = carry
         zx, *m = inp
-        c2, h2 = zoneout_lstm_step(
+        c2, h2, out = zoneout_lstm_step(
             p, None, c, h, None, zoneout_rate, train,
             masks=tuple(m) if use_masks else None, zx=zx,
         )
-        return (c2, h2), h2
+        # dynamic_rnn collects the cell's raw output; zoneout only mixes
+        # the carried state (reference modules.py:114-142)
+        return (c2, h2), out
 
     init = (jnp.zeros((B, units)), jnp.zeros((B, units)))
     _, hs = jax.lax.scan(step, init, xs_scan)

@@ -229,17 +229,20 @@ def decoder_step(
         else pre
     )
     x = jnp.concatenate([pre, carry.att.context], axis=-1)
-    c1, h1 = L.zoneout_lstm_step(
+    # zoneout mixes only the carried state; the raw LSTM outputs (out1, out2)
+    # feed the next cell / attention query / projections, exactly like the
+    # reference's MultiRNNCell over ZoneoutLSTMCells (modules.py:114-142)
+    c1, h1, out1 = L.zoneout_lstm_step(
         params["dec_lstm1"], x, carry.c1, carry.h1, None, cfg.zoneout_rate, train, masks=rand.z1
     )
-    c2, h2 = L.zoneout_lstm_step(
-        params["dec_lstm2"], h1, carry.c2, carry.h2, None, cfg.zoneout_rate, train, masks=rand.z2
+    c2, h2, out2 = L.zoneout_lstm_step(
+        params["dec_lstm2"], out1, carry.c2, carry.h2, None, cfg.zoneout_rate, train, masks=rand.z2
     )
     context, align, att_state = A.step(
-        params["attention"], cfg, h2, carry.att, keys, values, mem_mask, train,
+        params["attention"], cfg, out2, carry.att, keys, values, mem_mask, train,
         drop_mask=rand.att,
     )
-    proj_in = jnp.concatenate([h2, context], axis=-1)
+    proj_in = jnp.concatenate([out2, context], axis=-1)
     # frame + stop projections share proj_in, so run them as ONE dense over
     # the concatenated output columns (bitwise identical: same contraction,
     # per-column) — one fewer matmul on the scan's critical path.  The

@@ -55,6 +55,10 @@ Params = Dict[str, Any]
 
 
 def supported(cfg: TacotronModelConfig) -> bool:
+    # anti_repeat IS supported (vector port of forward_attention.py:176-215
+    # inside the kernel — the reference's long-sentence headline feature
+    # stays on the fast path); synthesis_constraint is LSA-only and a no-op
+    # under forward attention, so it doesn't gate the kernel either.
     return (
         cfg.attention_mode == "forward"
         and cfg.outputs_per_step == 1
@@ -63,22 +67,23 @@ def supported(cfg: TacotronModelConfig) -> bool:
         # read stays inside one vreg (see _kernel)
         and cfg.attention_kernel <= 65
         and not cfg.smoothing
-        and not cfg.anti_repeat
-        and not cfg.synthesis_constraint
     )
 
 
-def supported_shape(batch: int, t_in: int, cfg: TacotronModelConfig | None = None) -> bool:
+def supported_shape(
+    batch: int, t_in: int, cfg: TacotronModelConfig | None = None, dtype=jnp.bfloat16
+) -> bool:
     """Mosaic only lowers the [B, T_in] -> [B, T_in, 1] expansion in the
     location-conv accumulation for a single native (8, 128) tile, so the
     kernel processes the encoder axis in <=128-wide lane tiles; B > 8 is
     handled by the wrapper via sequential 8-example groups.  T_in is capped
-    by VMEM via the cost model below (at the default geometry: keys+values
-    at B=8, V=512 cost ~20.7 KB per encoder position, which no longer fit
-    beside the ~3.7 MB of packed bf16 weights past ~384 positions).  Shapes
-    or geometries outside the envelope fall back to the XLA decode instead
-    of failing at Mosaic compile time."""
-    if t_in > 384:
+    by VMEM via the cost model below: keys/values ride VMEM in ``dtype``
+    (bf16 on TPU — ~10.4 KB per encoder position at B=8, V=512 — which
+    clears the old f32 384-position ceiling to ~700; 768 is the hard cap to
+    bound the unrolled conv-subtile count).  Shapes or geometries outside
+    the envelope fall back to the XLA decode instead of failing at Mosaic
+    compile time."""
+    if t_in > 768:
         return False
     if cfg is None:
         V, A, u, pre, F, taps = 512, 128, 256, 256, 32, 31
@@ -89,7 +94,8 @@ def supported_shape(batch: int, t_in: int, cfg: TacotronModelConfig | None = Non
         pre = cfg.prenet_layers[-1]
         F = cfg.attention_filters
         taps = cfg.attention_kernel
-    b = 8  # kernel-native batch; the wrapper groups larger batches
+    b = min(batch, 8)  # kernel-native batch; the wrapper groups larger ones
+    kv_bytes = 2 if dtype == jnp.bfloat16 else 4
     weights = 2 * (  # bf16
         (pre + V + u) * 4 * u  # lstm1 split kernels
         + 2 * u * 4 * u  # lstm2
@@ -98,8 +104,9 @@ def supported_shape(batch: int, t_in: int, cfg: TacotronModelConfig | None = Non
         + (u + V) * 81  # frame + stop projections
         + (V + u)  # mu layer
     )
-    per_pos = b * (A + V + 6) * 4  # keys/memory/mask + alpha/cum/energy/shift (f32)
-    scratch_fixed = b * (4 * u + V + 5 * 128) * 4
+    # keys/values in dtype; mask/alpha/cum/energy/shift f32
+    per_pos = b * ((A + V) * kv_bytes + 5 * 4)
+    scratch_fixed = b * (4 * u + V + 7 * 128) * 4
     return weights + t_in * per_pos + scratch_fixed <= 13_000_000
 
 
@@ -157,7 +164,11 @@ WEIGHT_ORDER = [
 
 def _lstm_eval(gates, c, h, zoneout):
     """TF-order (i, j, f, o) LSTM + eval-mode zoneout EMA
-    (models/layers.py lstm_step + zoneout eval branch)."""
+    (models/layers.py lstm_step + zoneout eval branch).
+
+    Returns ``(c_carry, h_carry, out)``: zoneout mixes only the carried
+    state; the raw ``new_h`` is the downstream output (reference
+    modules.py:114-142, same contract as layers.zoneout_lstm_step)."""
     u = c.shape[-1]
     i = jax.nn.sigmoid(gates[:, :u])
     j = jnp.tanh(gates[:, u : 2 * u])
@@ -166,7 +177,7 @@ def _lstm_eval(gates, c, h, zoneout):
     new_c = f * c + i * j
     new_h = o * jnp.tanh(new_c)
     keep = 1.0 - zoneout
-    return keep * new_c + zoneout * c, keep * new_h + zoneout * h
+    return keep * new_c + zoneout * c, keep * new_h + zoneout * h, new_h
 
 
 def _kernel(
@@ -179,12 +190,15 @@ def _kernel(
     cfg_static: tuple,
     ablate: str = "full",
 ):
-    (zoneout, drop_rate, B, T_in, A, V, u, M, F, taps) = cfg_static
+    (
+        zoneout, drop_rate, B, T_in, A, V, u, M, F, taps,
+        anti_repeat, dwell_first, dwell_rest,
+    ) = cfg_static
     weights = rest[: len(WEIGHT_ORDER)]
     (frames_out, stops_out, aligns_out) = rest[len(WEIGHT_ORDER) : len(WEIGHT_ORDER) + 3]
     (
         c1S, h1S, c2S, h2S, ctxS, alphaS, cumS, muS, prevS, doneS,
-        energyS, shiftS, winS,
+        energyS, shiftS, winS, maxattS, posrecS,
     ) = rest[len(WEIGHT_ORDER) + 3 :]
     # the Mosaic [B, w] -> [B, w, 1] expansion only lowers for a single
     # (8, 128) tile, so every op that needs it runs over these lane tiles
@@ -204,6 +218,8 @@ def _kernel(
         muS[:, 0] = jnp.full((B,), 0.5, f32)
         energyS[:] = jnp.zeros_like(energyS)
         shiftS[:] = jnp.zeros_like(shiftS)
+        maxattS[:] = jnp.zeros_like(maxattS)
+        posrecS[:] = jnp.zeros_like(posrecS)
 
     if drop_rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -248,20 +264,21 @@ def _kernel(
                 eps = jnp.sum(p, axis=-1, keepdims=True) * 1e-6  # [B, 1]
                 c1n, h1n = c1, h1 + eps
                 c2n, h2n = c2, h2 + eps
+                out2 = h2n
             else:
                 # LSTM1 over [prenet, context]
                 g1 = mm(p, "l1_pre") + mm(ctx, "l1_ctx") + mm(h1, "l1_h") + W["l1_b"][:].astype(f32)
-                c1n, h1n = _lstm_eval(g1, c1, h1, zoneout)
-                # LSTM2
-                g2 = mm(h1n, "l2_x") + mm(h2, "l2_h") + W["l2_b"][:].astype(f32)
-                c2n, h2n = _lstm_eval(g2, c2, h2, zoneout)
+                c1n, h1n, out1 = _lstm_eval(g1, c1, h1, zoneout)
+                # LSTM2 consumes the raw LSTM1 output (zoneout only carries)
+                g2 = mm(out1, "l2_x") + mm(h2, "l2_h") + W["l2_b"][:].astype(f32)
+                c2n, h2n, out2 = _lstm_eval(g2, c2, h2, zoneout)
 
             # --- forward + location-sensitive attention ---
             # Energy is produced one <=128-wide encoder tile at a time (see
             # ``tiles`` above): location conv + location layer + tanh energy
             # stay tile-local, so no full-width [B, T_in, *] intermediate is
             # ever materialized and T_in may exceed one lane tile.
-            pq = mm(h2n, "att_wq")  # [B, A]
+            pq = mm(out2, "att_wq")  # [B, A]
             if ablate == "noatt":
                 energy = pq[:, :1] * jnp.ones((B, T_in), f32)
             else:
@@ -324,6 +341,39 @@ def _kernel(
             shiftS[:, 1 : 1 + T_in] = alpha
             shift_alpha = shiftS[:, :T_in]
             align = ((1.0 - mu) * alpha + mu * shift_alpha + 1e-10) * align_sm
+
+            if anti_repeat:
+                # in-kernel port of models.attention.anti_repeat_constrain
+                # (reference forward_attention.py:176-215), applied between
+                # the forward recursion and the renormalize, exactly like
+                # the XLA path.  int32 state lives in [B, 128] VMEM scratch
+                # (column 0).
+                col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
+                # first-occurrence argmax (matches jnp.argmax tie-breaking),
+                # built from max + where/min — lowers as plain reductions
+                maxv = jnp.max(align, axis=-1, keepdims=True)
+                arg = jnp.min(
+                    jnp.where(align == maxv, col, T_in), axis=-1, keepdims=True
+                )  # [B, 1] i32
+                prev_m = maxattS[:, 0:1]
+                prev_p = posrecS[:, 0:1]
+                m = jnp.where(arg <= prev_m, prev_m, prev_m + 1)
+                short = (prev_p < dwell_first) & (m > 2)
+                m = jnp.where(short, prev_m, m)
+                stayed = m == prev_m
+                pos_rec = jnp.where(stayed, prev_p + 1, 1)
+                over = pos_rec >= dwell_rest
+                m = jnp.where(over, m + 1, m)
+                pos_rec = jnp.where(over, 1, pos_rec)
+                window = (col >= m - 2) & (col < m + 3)
+                align = jnp.where(window, align, 0.0)
+                att_sum = jnp.sum(align, axis=-1, keepdims=True)
+                att_sum = jnp.where(att_sum < 1e-10, 1.0, att_sum)
+                at_max = col == jnp.clip(m, 0, T_in - 1)
+                align = jnp.where(at_max, att_sum * 2.0, align)
+                maxattS[:, 0:1] = m
+                posrecS[:, 0:1] = pos_rec
+
             align = align / jnp.sum(align, axis=-1, keepdims=True)
 
             ctx_new = jnp.zeros((B, V), f32)
@@ -338,11 +388,11 @@ def _kernel(
                     axis=1,
                 )  # [B, V]
             mu_new = jax.nn.sigmoid(
-                mm(ctx_new, "mu_c") + mm(h2n, "mu_q") + W["mu_b"][:].astype(f32)
+                mm(ctx_new, "mu_c") + mm(out2, "mu_q") + W["mu_b"][:].astype(f32)
             )[:, 0:1]
 
-            frames = mm(h2n, "fp_h") + mm(ctx_new, "fp_c") + W["fp_b"][:].astype(f32)  # [B, M]
-            stop = (mm(h2n, "sp_h") + mm(ctx_new, "sp_c") + W["sp_b"][:].astype(f32))[:, 0]  # [B]
+            frames = mm(out2, "fp_h") + mm(ctx_new, "fp_c") + W["fp_b"][:].astype(f32)  # [B, M]
+            stop = (mm(out2, "sp_h") + mm(ctx_new, "sp_c") + W["sp_b"][:].astype(f32))[:, 0]  # [B]
 
             # finished examples keep advancing with real outputs/state until
             # the WHOLE batch stops — exactly the XLA while_loop and the
@@ -438,9 +488,10 @@ def decode_autoregressive_pallas(
 
     if chunk is None:
         # double-buffered output chunks (frames + stops + aligns, f32) must
-        # fit VMEM beside weights (~4 MB bf16) + memory/keys
-        # (B*T_in*(V+A)*4 bytes): budget the chunk so larger B*T_in shrink it
-        fixed = 4_500_000 + B * T_in * (V + A) * 4
+        # fit VMEM beside weights (~4 MB bf16) + memory/keys (in ``dtype``):
+        # budget the chunk so larger B*T_in shrink it
+        kv_bytes = 2 if dtype == jnp.bfloat16 else 4
+        fixed = 4_500_000 + B * T_in * (V + A) * kv_bytes
         per_step = 2 * B * (M + 1 + T_in) * 4  # x2 output double buffering
         budget = max(int((13_000_000 - fixed) / max(per_step, 1)), 8)
         chunk = max(8, min(48, (budget // 8) * 8))
@@ -456,7 +507,13 @@ def decode_autoregressive_pallas(
     full = lambda a: pl.BlockSpec(a.shape, lambda i, s: (0,) * a.ndim, memory_space=pltpu.VMEM)
     cfg_static = (
         float(cfg.zoneout_rate), float(cfg.dropout_rate), B, T_in, A, V, u, M, F, taps,
+        bool(cfg.anti_repeat), int(cfg.dwell_limit_first), int(cfg.dwell_limit_rest),
     )
+    # keys/values ride VMEM in the weight dtype (bf16 on TPU): halves the
+    # dominant per-position footprint, roughly doubling the T_in envelope;
+    # the kernel upcasts per-tile to f32 before use (parity tests run f32)
+    keys = keys.astype(dtype)
+    memory_kv = memory.astype(dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -486,6 +543,8 @@ def decode_autoregressive_pallas(
             pltpu.VMEM((B, T_in), jnp.float32),  # per-tile energy assembly
             pltpu.VMEM((B, T_in + 1), jnp.float32),  # zero-fill alpha shift
             pltpu.VMEM((B, 128), jnp.float32),  # padded conv window per subtile
+            pltpu.VMEM((B, 128), jnp.int32),  # anti-repeat max_attentions (col 0)
+            pltpu.VMEM((B, 128), jnp.int32),  # anti-repeat pos_rec (col 0)
         ],
     )
     frames, stops, aligns = pl.pallas_call(
@@ -497,7 +556,7 @@ def decode_autoregressive_pallas(
             jax.ShapeDtypeStruct((T_pad, B, T_in), jnp.float32),
         ],
         interpret=interpret,
-    )(seed, keys, memory, mem_mask, *[w[k] for k in WEIGHT_ORDER])
+    )(seed, keys, memory_kv, mem_mask, *[w[k] for k in WEIGHT_ORDER])
 
     frames = jnp.swapaxes(frames[:max_iters], 0, 1)  # [B, T, M]
     stops = jnp.swapaxes(stops[:max_iters], 0, 1)  # [B, T]

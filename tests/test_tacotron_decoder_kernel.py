@@ -37,7 +37,8 @@ def test_supported_gate():
     assert DK.supported(cfg)
     assert not DK.supported(dataclasses.replace(cfg, attention_mode="lsa"))
     assert not DK.supported(dataclasses.replace(cfg, outputs_per_step=2))
-    assert not DK.supported(dataclasses.replace(cfg, anti_repeat=True))
+    # the long-sentence anti-repeat machinery runs IN the kernel
+    assert DK.supported(dataclasses.replace(cfg, anti_repeat=True))
     # conv subtile vreg bound: taps-1 + 64 <= 128  =>  attention_kernel <= 65
     assert DK.supported(dataclasses.replace(cfg, attention_kernel=65))
     assert not DK.supported(dataclasses.replace(cfg, attention_kernel=67))
@@ -157,10 +158,63 @@ def test_post_stop_frames_match_xla(setup):
 
 
 def test_supported_shape_accounts_for_config_dims():
+    import jax.numpy as jnp
+
     cfg = default_config().tacotron
-    assert DK.supported_shape(1, 384)  # default geometry fits at the cap
+    assert DK.supported_shape(1, 384)
     assert DK.supported_shape(1, 384, cfg)
-    # a double-width encoder (V=1024) blows the VMEM budget at large T_in
+    # bf16 keys/values roughly double the old f32 384 ceiling
+    assert DK.supported_shape(8, 768, cfg)
+    assert not DK.supported_shape(8, 800, cfg)  # hard cap
+    # a double-width encoder (V=1024) blows the VMEM budget at f32 kv
     big = dataclasses.replace(cfg, encoder_lstm_units=512)
-    assert not DK.supported_shape(1, 384, big)
-    assert DK.supported_shape(1, 64, big)  # but small shapes still fit
+    assert not DK.supported_shape(8, 384, big, dtype=jnp.float32)
+    assert DK.supported_shape(8, 64, big, dtype=jnp.float32)  # small fits
+
+
+def test_parity_anti_repeat(setup):
+    """The in-kernel anti-repeat/dwell-limit branch (the reference's
+    long-sentence lever, forward_attention.py:176-215) must match the XLA
+    decode step-for-step; 40 steps cross the warm-up (5) and dwell (10)
+    thresholds several times."""
+    cfg, params, memory, mask = setup
+    cfg_ar = dataclasses.replace(cfg, anti_repeat=True)
+    assert DK.supported(cfg_ar)
+    rng = jax.random.PRNGKey(13)
+    # keep decoding past stop: compare the full buffers
+    p2 = dict(params)
+    p2["stop_projection"] = dict(
+        params["stop_projection"], b=params["stop_projection"]["b"] - 8.0
+    )
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(p2, cfg_ar, memory, mask, rng, 40)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        p2, cfg_ar, memory, mask, rng, 40, chunk=8, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    np.testing.assert_allclose(np.asarray(fr_r), np.asarray(fr_k), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r), np.asarray(al_k), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_r), np.asarray(st_k), atol=1e-5)
+    # the constraint actually engaged: alignments are windowed (<=5 nonzero)
+    nz = (np.asarray(al_k)[0] > 1e-9).sum(-1)
+    assert nz.max() <= 5
+
+
+def test_parity_t_in_512(setup):
+    """T_in=512 exercises the extended (bf16-keys) envelope far past the old
+    384 cap — 4 lane tiles, 8 conv subtiles — against the XLA decode."""
+    cfg, params, _, _ = setup
+    B, T_in = 1, 512
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([T_in], jnp.int32)
+    memory, _ = T.encode(params, cfg, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    assert DK.supported_shape(B, T_in, cfg)
+    rng = jax.random.PRNGKey(17)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg, memory, mask, rng, 8)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg, memory, mask, rng, 8, chunk=8, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)

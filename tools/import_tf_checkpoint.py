@@ -206,12 +206,12 @@ def load_tf_variables(ckpt_path: str | None, npz_path: str | None) -> Dict[str, 
             name: reader.get_tensor(name)
             for name in reader.get_variable_to_shape_map()
         }
-    except ImportError as e:
-        raise SystemExit(
-            "tensorflow is not installed in this environment; export the TF "
-            "checkpoint to .npz elsewhere (np.savez(path, **{name: tensor})) "
-            "and pass --npz"
-        ) from e
+    except ImportError:
+        # dependency-free tensor-bundle reader (tools/tf_bundle.py): parses
+        # the .index SSTable + .data shards directly, with crc verification
+        from tools.tf_bundle import read_bundle
+
+        return read_bundle(ckpt_path)
 
 
 def import_checkpoint(cfg, tf_vars: Dict[str, np.ndarray]):
