@@ -147,9 +147,9 @@ REF_TRAIN = "/root/reference/train.txt"
 @pytest.mark.skipif(not os.path.exists(REF_TRAIN), reason="reference mount absent")
 def test_g2p_agreement_full_reference_corpus():
     """G2P parity against ALL 10k (text, pyin) pairs the reference shipped
-    (train.txt column 6): measured 99.97% exact sentences (3/10000 residual
-    polyphone ambiguities) after corpus-mined phrase overrides
-    (tools/mine_lexicon_overrides.py)."""
+    (train.txt column 6): 100% exact sentences after corpus-mined phrase
+    overrides (tools/mine_lexicon_overrides.py) plus context-sensitive
+    (punctuation-bearing) overrides for the 3 residual polyphones."""
     from tacotronv2_wavernn_chinese_tpu.frontend import get_pyin as gp
 
     rows = [
@@ -166,5 +166,5 @@ def test_g2p_agreement_full_reference_corpus():
         tok_match += m
         tok_total += max(len(a), len(b))
         exact += ours == r[5]
-    assert exact / n >= 0.999, f"exact {exact}/{n}"
-    assert tok_match / tok_total >= 0.9999, f"tokens {tok_match}/{tok_total}"
+    assert exact == n, f"exact {exact}/{n}"
+    assert tok_match == tok_total, f"tokens {tok_match}/{tok_total}"
