@@ -44,6 +44,33 @@ def timed(f, key, reps=3):
     return min(ts)
 
 
+# v5e (TPU v5 lite) MXU peak: 197 TFLOP/s bf16.  MFU here = XLA-counted
+# FLOPs of the compiled step / wall time / bf16 peak — the standard
+# how-to-scale-your-model definition (f32 matmuls also run as MXU passes,
+# so one peak keeps rows comparable).
+PEAK_FLOPS_BF16 = 197e12
+
+
+def xla_flops(jitted, *args) -> float | None:
+    """FLOPs of the compiled program per XLA's own cost model."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def mfu_extra(flops, dt) -> dict:
+    if not flops or dt <= 0:
+        return {}
+    return {
+        "flops_per_step": flops,
+        "mfu": round(flops / dt / PEAK_FLOPS_BF16, 4),
+        "peak_tflops_bf16": PEAK_FLOPS_BF16 / 1e12,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -99,7 +126,25 @@ def main() -> None:
         return metrics["loss"]
 
     dt = timed(train_once, key)
-    emit("tacotron_train_step_seconds", dt, "s/step", batch_size=B, frames=T_out)
+    taco_flops = xla_flops(TT.train_step, state_box[0], batch, key, cfg)
+    emit("tacotron_train_step_seconds", dt, "s/step", batch_size=B, frames=T_out,
+         **mfu_extra(taco_flops, dt))
+
+    # mixed-precision (bf16 weights / f32 master) train step
+    cfg_mp = cfg.override(
+        "tacotron_train.mixed_precision=true,wavernn_train.mixed_precision=true"
+    )
+    mp_box = [TT.init_state(jax.random.PRNGKey(0), cfg_mp)]
+
+    def train_mp(k):
+        s2, metrics = TT.train_step(mp_box[0], batch, k, cfg_mp)
+        mp_box[0] = s2
+        return metrics["loss"]
+
+    dt_mp = timed(train_mp, key)
+    emit("tacotron_train_step_mp_seconds", dt_mp, "s/step", batch_size=B,
+         frames=T_out, speedup_vs_f32=round(dt / dt_mp, 3),
+         **mfu_extra(taco_flops, dt_mp))
 
     # fused K-step dispatch (train_step_many): amortizes the per-dispatch
     # host RTT; the effective per-step time is dispatch/K
@@ -215,7 +260,21 @@ def main() -> None:
         return metrics["loss"]
 
     dt = timed(wtrain_once, key)
-    emit("wavernn_train_step_seconds", dt, "s/step", batch_size=Bw, seq_len=sf * hop)
+    voc_flops = xla_flops(WT.train_step, wstate_box[0], wbatch, cfg)
+    emit("wavernn_train_step_seconds", dt, "s/step", batch_size=Bw,
+         seq_len=sf * hop, **mfu_extra(voc_flops, dt))
+
+    wmp_box = [WT.init_state(jax.random.PRNGKey(0), cfg_mp)]
+
+    def wtrain_mp(k):
+        s2, metrics = WT.train_step(wmp_box[0], wbatch, cfg_mp)
+        wmp_box[0] = s2
+        return metrics["loss"]
+
+    dt_mp = timed(wtrain_mp, key)
+    emit("wavernn_train_step_mp_seconds", dt_mp, "s/step", batch_size=Bw,
+         seq_len=sf * hop, speedup_vs_f32=round(dt / dt_mp, 3),
+         **mfu_extra(voc_flops, dt_mp))
 
     wbatches = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), wbatch
@@ -262,6 +321,45 @@ def main() -> None:
             emit("wavernn_gen_pallas_x_realtime", audio_s / dt, "x_realtime", folds=n_folds)
         except Exception as e:  # non-TPU accelerators can't run the Mosaic kernel
             print(f"# pallas generation skipped: {e}")
+
+    # ---- single-utterance TTS latency (time-to-audio) ---------------------
+    # The interactive serving figure (reference tacotron_synthesize.py:200):
+    # one ~3.7 s sentence end-to-end — AR decode (fused kernel on TPU, the
+    # Synthesizer's default path) + postnet + WaveRNN at the reference's OWN
+    # default fold geometry (target 11000 / overlap 550, wavernn_hparams
+    # 55-57).  Wall-clock per call, dispatch RTT included (~32 ms/dispatch
+    # through the axon tunnel; a colocated server would not pay it).
+    lat_iters = 100 if args.quick else 300  # mel frames -> 300*275/22050=3.74 s
+    lat_Tin = 64
+    lat_inputs = jnp.ones((1, lat_Tin), jnp.int32)
+    lat_lens = jnp.full((1,), lat_Tin, jnp.int32)
+    use_kernel = on_tpu and DK.supported(cfg.tacotron) and DK.supported_shape(1, lat_Tin)
+
+    lat_decode = jax.jit(
+        lambda k: T.forward_inference(
+            params, cfg.tacotron, lat_inputs, lat_lens, k, lat_iters,
+            use_pallas_decoder=use_kernel,
+        ).mel_outputs
+    )
+    def tts_once(k):
+        mel = lat_decode(k)
+        sync(mel)  # the Synthesizer's host boundary: trim-at-stop runs on host
+        m = np.asarray(mel[0])
+        lf, _ = W.fold_with_overlap(
+            m, cfg.wavernn_gen.target // hop, cfg.wavernn_gen.overlap // hop
+        )
+        lf = jnp.asarray(np.stack([W.pad_mel_for_generation(f, cfg.wavernn.pad) for f in lf]))
+        if on_tpu:
+            from tacotronv2_wavernn_chinese_tpu.ops import wavernn_kernel as WK
+
+            return WK.generate_pallas(wp, cfg.wavernn, lf, k, cfg.audio.bits)
+        return W.generate_scan(wp, cfg.wavernn, lf, k, cfg.audio.bits)
+
+    dt = timed(tts_once, jax.random.fold_in(key, 999))
+    lat_audio_s = lat_iters * hop / sr
+    emit("tts_latency_ms", dt * 1000.0, "ms", audio_seconds=round(lat_audio_s, 2),
+         x_realtime=round(lat_audio_s / dt, 2), decoder="pallas" if use_kernel else "xla",
+         fold_target=cfg.wavernn_gen.target, fold_overlap=cfg.wavernn_gen.overlap)
 
     out = "bench_suite_results.json"
     with open(out, "w") as f:

@@ -1,0 +1,323 @@
+"""Mid-scale training demonstration -> QUALITY_r2.json.
+
+The reference ships a 206,500-step Biaobei checkpoint as its only quality
+evidence (logs-Tacotron-2/taco_pretrained/checkpoint:1); the Biaobei wavs are
+absent from this mount, so this tool builds the strongest available fidelity
+proxy: a few-hundred-utterance PROCEDURAL corpus (real reference transcripts,
+deterministic formant-synthesized audio whose spectra encode phoneme
+identity, with per-utterance tempo/pitch variation), trains Tacotron-2 to
+attention acquisition and WaveRNN on its GTA mels — exercising length
+bucketing, checkpoint rotation, and fused multi-step dispatch at realistic
+shapes — and records loss curves, held-out teacher-forced mel L1, and
+alignment diagnostics (entropy / monotonicity / coverage).
+
+Usage:
+    python -m tools.quality_demo --work /tmp/quality_r2 --out QUALITY_r2.json
+    python -m tools.quality_demo --quick   # tiny CPU smoke run
+
+Reference parity points: train loop semantics tacotron/train.py:170-218,
+GTA bridge wavernn_preprocess.py:29-172, vocoder training wavernn_train.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+
+SR = 22050
+REF_TRAIN = "/root/reference/train.txt"
+
+
+# ---------------------------------------------------------------------------
+# procedural corpus
+# ---------------------------------------------------------------------------
+
+
+def _phone_params(token: str):
+    """Deterministic per-phoneme acoustic identity: 3 spectral peaks +
+    duration, spread by hash so phones are spectrally distinctive."""
+    h = hashlib.md5(token.encode("utf-8")).digest()
+    f1 = 150.0 + (h[0] / 255.0) * 500.0
+    f2 = 700.0 + (h[1] / 255.0) * 1800.0
+    f3 = 2500.0 + (h[2] / 255.0) * 3500.0
+    dur = 0.07 + (h[3] / 255.0) * 0.09  # 70-160 ms
+    amps = (1.0, 0.5 + h[4] / 510.0, 0.25 + h[5] / 1020.0)
+    return (f1, f2, f3), amps, dur
+
+
+_TONE_CONTOUR = {
+    "1": (1.0, 1.0), "2": (0.85, 1.15), "3": (0.9, 0.75),
+    "4": (1.2, 0.8), "0": (0.95, 0.95), "5": (0.95, 0.95),
+}
+
+
+def synth_utterance(pyin: str, seed: int) -> np.ndarray:
+    """Formant-like synthesis: each phoneme token becomes a segment of
+    summed sinusoids; tone digits shape an f0 contour; per-utterance tempo
+    and pitch factors add speaker-like variation."""
+    rng = np.random.default_rng(seed)
+    tempo = rng.uniform(0.85, 1.25)
+    pitch = rng.uniform(0.85, 1.2)
+    segs = []
+    for token in pyin.split():
+        if token in ("，", "。", "？", "！"):
+            segs.append(np.zeros(int(SR * 0.12 * tempo), np.float32))
+            continue
+        (f1, f2, f3), (a1, a2, a3), dur = _phone_params(token)
+        n = int(SR * dur * tempo)
+        t = np.arange(n, dtype=np.float32) / SR
+        c0, c1 = _TONE_CONTOUR.get(token[-1], (1.0, 1.0))
+        f0 = 120.0 * pitch * np.linspace(c0, c1, n).astype(np.float32)
+        phase0 = np.cumsum(2 * np.pi * f0 / SR).astype(np.float32)
+        sig = (
+            0.5 * np.sin(phase0)
+            + a1 * 0.3 * np.sin(2 * np.pi * f1 * pitch * t)
+            + a2 * 0.2 * np.sin(2 * np.pi * f2 * t)
+            + a3 * 0.1 * np.sin(2 * np.pi * f3 * t)
+        )
+        env = np.hanning(n).astype(np.float32) ** 0.5
+        segs.append((sig * env).astype(np.float32))
+    wav = np.concatenate(segs) if segs else np.zeros(SR // 10, np.float32)
+    peak = np.abs(wav).max()
+    return (0.7 * wav / peak).astype(np.float32) if peak > 0 else wav
+
+
+def make_corpus(corpus_dir: str, n: int, seed: int = 0, log=print) -> tuple[str, str]:
+    """Biaobei-layout procedural corpus from reference transcripts (or
+    generated pinyin when the mount is absent).  Returns (transcript, wav_dir)."""
+    from tacotronv2_wavernn_chinese_tpu.dsp.wav import save_wav
+    from tacotronv2_wavernn_chinese_tpu.frontend import get_pyin
+
+    wav_dir = os.path.join(corpus_dir, "Wave")
+    os.makedirs(wav_dir, exist_ok=True)
+    if os.path.exists(REF_TRAIN):
+        rows = [l.strip().split("|") for l in open(REF_TRAIN, encoding="utf-8")]
+        texts = [r[4] for r in rows if len(r) >= 6]
+        stride = max(1, len(texts) // n)
+        texts = texts[::stride][:n]
+    else:  # mount-free fallback: synthetic sentences over the symbol table
+        syllables = ["ni3", "hao3", "ma5", "tian1", "qi4", "zhen1", "bu2", "cuo4",
+                     "wo3", "men2", "qu4", "gong1", "yuan2", "wan2", "ba5"]
+        rng = np.random.default_rng(seed)
+        texts = [
+            " ".join(rng.choice(syllables, rng.integers(8, 30))) + "。"
+            for _ in range(n)
+        ]
+    transcript = os.path.join(corpus_dir, "transcript.txt")
+    with open(transcript, "w", encoding="utf-8") as f:
+        for i, text in enumerate(texts):
+            idx = f"{i+1:06d}"
+            pyin, norm = get_pyin(text)
+            wav = synth_utterance(pyin, seed=seed * 100003 + i)
+            save_wav(wav, os.path.join(wav_dir, f"{idx}.wav"), SR)
+            f.write(f"{idx}\t{norm}\n")
+            f.write(f"\t{pyin}\n")
+    log(f"procedural corpus: {len(texts)} utterances -> {corpus_dir}")
+    return transcript, wav_dir
+
+
+# ---------------------------------------------------------------------------
+# alignment diagnostics
+# ---------------------------------------------------------------------------
+
+
+def alignment_diagnostics(aligns: np.ndarray, t_dec: int, t_in: int) -> dict:
+    """Entropy (nats), monotonicity (fraction non-decreasing argmax), and
+    coverage (max argmax / input length) over the valid region."""
+    a = aligns[:t_dec, :t_in]
+    a = a / np.maximum(a.sum(-1, keepdims=True), 1e-9)
+    ent = float(np.mean(-np.sum(a * np.log(a + 1e-9), axis=-1)))
+    arg = np.argmax(a, axis=-1)
+    mono = float(np.mean(np.diff(arg) >= 0)) if len(arg) > 1 else 1.0
+    cov = float(arg.max() + 1) / t_in
+    return {"entropy": ent, "monotonicity": mono, "coverage": cov}
+
+
+def heldout_eval(cfg, params, metadata_path: str, mel_dir: str) -> dict:
+    """Teacher-forced mel L1 + alignment diagnostics over the holdout set."""
+    import jax
+    import jax.numpy as jnp
+
+    from tacotronv2_wavernn_chinese_tpu.data.loader import TacotronDataset
+    from tacotronv2_wavernn_chinese_tpu.data.preprocess import read_metadata
+    from tacotronv2_wavernn_chinese_tpu.train import tacotron_task as task
+
+    ds = TacotronDataset(read_metadata(metadata_path), mel_dir, cfg)
+    l1s, diags = [], []
+    for batch in ds.sequential_batches(8):
+        arrays = {
+            "inputs": jnp.asarray(batch.inputs),
+            "input_lengths": jnp.asarray(batch.input_lengths),
+            "mel_targets": jnp.asarray(batch.mel_targets),
+            "stop_targets": jnp.asarray(batch.stop_targets),
+            "target_lengths": jnp.asarray(batch.target_lengths),
+            "loss_frames": jnp.asarray(batch.loss_frames),
+        }
+        _, out = task.eval_step(params, arrays, jax.random.PRNGKey(0), cfg)
+        mel = np.asarray(out.mel_outputs)
+        aligns = np.asarray(out.alignments)
+        for i in range(mel.shape[0]):
+            T = int(batch.target_lengths[i])
+            if T == 0:
+                continue
+            tgt = np.asarray(batch.mel_targets[i][:T])
+            l1s.append(float(np.mean(np.abs(mel[i][:T] - tgt))))
+            diags.append(
+                alignment_diagnostics(aligns[i], T, int(batch.input_lengths[i]))
+            )
+    agg = {
+        k: float(np.mean([d[k] for d in diags])) for k in diags[0]
+    } if diags else {}
+    return {"mel_l1": float(np.mean(l1s)), "n_heldout": len(l1s), **agg}
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+
+def run(work: str, out_json: str, n_utts: int, taco_steps: int, voc_steps: int,
+        quick: bool = False) -> dict:
+    import jax
+
+    from tacotronv2_wavernn_chinese_tpu.config import default_config
+    from tacotronv2_wavernn_chinese_tpu.data.preprocess import (
+        process_corpus, read_metadata, write_metadata,
+    )
+    from tacotronv2_wavernn_chinese_tpu.utils.compile_cache import enable_compile_cache
+    from tacotronv2_wavernn_chinese_tpu.utils.metrics import read_scalars
+
+    enable_compile_cache()
+    t_start = time.time()
+    os.makedirs(work, exist_ok=True)
+    cfg = default_config()
+    overrides = [
+        "tacotron_train.checkpoint_interval=500",
+        "tacotron_train.summary_interval=50",
+        "tacotron_train.steps_per_dispatch=4",  # fused dispatch at scale
+    ]
+    if quick:
+        overrides += [
+            "tacotron.embedding_dim=32", "tacotron.enc_conv_channels=32",
+            "tacotron.encoder_lstm_units=32", "tacotron.decoder_lstm_units=32",
+            "tacotron.attention_dim=16", "tacotron.attention_filters=8",
+            "tacotron.attention_kernel=7", "tacotron.postnet_channels=32",
+            "tacotron.prenet_layers=(32,32)",
+            "tacotron_train.batch_size=4", "tacotron_train.checkpoint_interval=4",
+            "tacotron_train.steps_per_dispatch=2",
+            "wavernn.rnn_dims=32", "wavernn.fc_dims=32", "wavernn.compute_dims=16",
+            "wavernn.res_out_dims=8", "wavernn.res_blocks=2",
+            "wavernn_train.batch_size=4", "wavernn_train.checkpoint_every=4",
+        ]
+    cfg = cfg.override(",".join(overrides))
+
+    # 1. corpus
+    corpus_dir = os.path.join(work, "corpus")
+    transcript, wav_dir = make_corpus(corpus_dir, n_utts)
+    feat_dir = os.path.join(work, "training_data")
+    rows = process_corpus(cfg, transcript, wav_dir, feat_dir)
+    write_metadata(rows, os.path.join(feat_dir, "all.txt"))
+    n_hold = max(4, len(rows) // 16)
+    write_metadata(rows[:-n_hold], os.path.join(feat_dir, "train.txt"))
+    write_metadata(rows[-n_hold:], os.path.join(feat_dir, "holdout.txt"))
+    audio_h = sum(int(r[2]) for r in rows) / SR / 3600
+
+    # 2. tacotron training (restore-or-init; LossExplosion aborts loudly)
+    from tacotronv2_wavernn_chinese_tpu.train.tacotron_train import run_training
+
+    taco_log = os.path.join(work, "logs-tacotron")
+    t0 = time.time()
+    state = run_training(
+        cfg, os.path.join(feat_dir, "train.txt"), feat_dir, taco_log,
+        total_steps=taco_steps, render_eval=not quick,
+    )
+    taco_time = time.time() - t0
+    params = jax.device_get(state.params)
+    scalars = read_scalars(os.path.join(taco_log, "scalars.jsonl"))
+    losses = [(s["step"], s["loss"]) for s in scalars if "loss" in s]
+
+    # 3. held-out teacher-forced eval
+    hold = heldout_eval(cfg, params, os.path.join(feat_dir, "holdout.txt"), feat_dir)
+
+    # 4. GTA bridge over the train split
+    from tacotronv2_wavernn_chinese_tpu.infer.gta import generate_gta
+
+    gta_dir = os.path.join(work, "gta")
+    gta_meta = generate_gta(
+        cfg, params, os.path.join(feat_dir, "train.txt"), feat_dir, gta_dir,
+        batch_size=4 if quick else 8,
+    )
+
+    # 5. WaveRNN on GTA mels
+    from tacotronv2_wavernn_chinese_tpu.train.wavernn_train import (
+        run_training as voc_run,
+    )
+
+    voc_log = os.path.join(work, "logs-wavernn")
+    t0 = time.time()
+    voc_run(cfg, gta_meta, gta_dir, voc_log, total_steps=voc_steps,
+            gen_at_checkpoint=False)
+    voc_time = time.time() - t0
+    voc_scalars = read_scalars(os.path.join(voc_log, "scalars.jsonl"))
+    voc_losses = [(s["step"], s["loss"]) for s in voc_scalars if "loss" in s]
+
+    ckpts = sorted(os.listdir(os.path.join(taco_log, "taco_pretrained")))
+    report = {
+        "provenance": {
+            "tool": "tools/quality_demo.py",
+            "n_utterances": len(rows),
+            "audio_hours": round(audio_h, 3),
+            "holdout": n_hold,
+            "tacotron_steps": taco_steps,
+            "wavernn_steps": voc_steps,
+            "steps_per_dispatch": cfg.tacotron_train.steps_per_dispatch,
+            "batch_size": cfg.tacotron_train.batch_size,
+            "backend": jax.default_backend(),
+            "wall_s": round(time.time() - t_start, 1),
+        },
+        "tacotron": {
+            "loss_curve": losses,
+            "loss_first": losses[0][1] if losses else None,
+            "loss_last": losses[-1][1] if losses else None,
+            "sec_per_step": round(taco_time / max(taco_steps, 1), 4),
+            "checkpoints_kept": len(ckpts),
+        },
+        "heldout": hold,
+        "wavernn": {
+            "loss_curve": voc_losses[:: max(1, len(voc_losses) // 50)],
+            "loss_first": voc_losses[0][1] if voc_losses else None,
+            "loss_last": voc_losses[-1][1] if voc_losses else None,
+            "sec_per_step": round(voc_time / max(voc_steps, 1), 4),
+        },
+    }
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items() if k != "tacotron"} |
+                     {"tacotron": {k: v for k, v in report["tacotron"].items()
+                                   if k != "loss_curve"}}, indent=1))
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/quality_r2")
+    ap.add_argument("--out", default="QUALITY_r2.json")
+    ap.add_argument("--n-utts", type=int, default=320)
+    ap.add_argument("--taco-steps", type=int, default=3000)
+    ap.add_argument("--voc-steps", type=int, default=1500)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny CPU smoke run (mechanics only)")
+    args = ap.parse_args()
+    if args.quick:
+        run(args.work, args.out, n_utts=12, taco_steps=8, voc_steps=8, quick=True)
+    else:
+        run(args.work, args.out, args.n_utts, args.taco_steps, args.voc_steps)
+
+
+if __name__ == "__main__":
+    main()
