@@ -121,16 +121,51 @@ def main() -> None:
         f"({value:.1f}x realtime, {n_folds} folds, runs={['%.3f' % w for w in walls]})",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "wavernn_gen_audio_seconds_per_second",
-                "value": round(value, 2),
-                "unit": "audio_s/s",
-                "vs_baseline": round(value / BASELINE_X_REALTIME, 3),
-            }
-        )
-    )
+
+    # apples-to-apples companion numbers at the reference's OWN defaults
+    # (single utterance, target 11000 / overlap 550, wavernn_hparams.py:55-57):
+    # per-chip throughput at that geometry AND single-utterance vocoder
+    # latency (time-to-audio for one ~11 s sentence) — the interactive figure
+    # the reference's demo implies (tacotron_synthesize.py:200)
+    ref_xrt = ref_latency_ms = None
+    if on_tpu:
+        try:
+            t_ref = cfg.wavernn_gen.target // hop
+            mel1 = mels[0][: 900]  # one ~11.2 s utterance
+            rfolds, _ = W.fold_with_overlap(mel1, t_ref, ov_frames)
+            rfolds = jnp.asarray(
+                np.stack([W.pad_mel_for_generation(f, cfg.wavernn.pad) for f in rfolds])
+            )
+            from tacotronv2_wavernn_chinese_tpu.ops import wavernn_kernel as K
+
+            rgen = lambda k: K.generate_pallas(params, cfg.wavernn, rfolds, k, cfg.audio.bits)
+            _sync_scalar(rgen(key))  # warmup
+            rw = []
+            for i in range(3):
+                t0 = time.time()
+                _sync_scalar(rgen(jax.random.fold_in(key, 100 + i)))
+                rw.append(time.time() - t0)
+            ref_audio_s = mel1.shape[0] * hop / sr
+            ref_xrt = round(ref_audio_s / min(rw), 2)
+            ref_latency_ms = round(min(rw) * 1000.0, 1)
+            print(
+                f"reference-default folds ({cfg.wavernn_gen.target}/{cfg.wavernn_gen.overlap}): "
+                f"{ref_xrt}x realtime, {ref_latency_ms} ms for {ref_audio_s:.1f}s audio",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"reference-default companion bench skipped: {e}", file=sys.stderr)
+
+    row = {
+        "metric": "wavernn_gen_audio_seconds_per_second",
+        "value": round(value, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(value / BASELINE_X_REALTIME, 3),
+    }
+    if ref_xrt is not None:
+        row["at_reference_default_folds_x_realtime"] = ref_xrt
+        row["single_utterance_vocoder_latency_ms"] = ref_latency_ms
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -157,11 +157,19 @@ def run_training(
     with ctx:
         while step < total_steps:
             stream = dataset.batches(epoch_seed=tc.data_seed + epoch)
+            step_at_epoch_start = step
             for group in fused_groups(
                 stream, spd, lambda: step, total_steps,
                 key_fn=lambda b: (b.inputs.shape, b.mel_targets.shape),
             ):
                 dispatch(group)
+            if step == step_at_epoch_start:
+                # zero batches this epoch (fewer utterances than batch_size
+                # with drop_remainder): fail loudly instead of spinning
+                raise ValueError(
+                    f"epoch produced no batches: {len(dataset.rows)} utterances"
+                    f" < batch_size {tc.batch_size} (lower tacotron_train.batch_size)"
+                )
             epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()

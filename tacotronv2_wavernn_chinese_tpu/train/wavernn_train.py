@@ -141,8 +141,17 @@ def run_training(
     while step < total_steps:
         # vocoder windows are fixed-size, so any spd consecutive batches
         # stack (no key_fn needed)
+        step_at_epoch_start = step
         for group in fused_groups(batch_stream(epoch), spd, lambda: step, total_steps):
             dispatch(group)
+        if step == step_at_epoch_start:
+            # zero batches this epoch (train split smaller than batch size):
+            # fail loudly instead of spinning epochs forever
+            raise ValueError(
+                f"vocoder epoch produced no batches: {len(dataset.train_indices)}"
+                f" train utterances < batch_size {cfg.wavernn_train.batch_size}"
+                " (lower wavernn_train.batch_size or wavernn_train.test_samples)"
+            )
         epoch += 1
     mgr.save(step, jax.device_get(state))
     mgr.close()

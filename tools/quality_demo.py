@@ -200,6 +200,7 @@ def run(work: str, out_json: str, n_utts: int, taco_steps: int, voc_steps: int,
         "tacotron_train.checkpoint_interval=500",
         "tacotron_train.summary_interval=50",
         "tacotron_train.steps_per_dispatch=4",  # fused dispatch at scale
+        "wavernn_train.test_samples=20",
     ]
     if quick:
         overrides += [
@@ -213,6 +214,7 @@ def run(work: str, out_json: str, n_utts: int, taco_steps: int, voc_steps: int,
             "wavernn.rnn_dims=32", "wavernn.fc_dims=32", "wavernn.compute_dims=16",
             "wavernn.res_out_dims=8", "wavernn.res_blocks=2",
             "wavernn_train.batch_size=4", "wavernn_train.checkpoint_every=4",
+            "wavernn_train.test_samples=2",
         ]
     cfg = cfg.override(",".join(overrides))
 
