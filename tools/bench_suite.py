@@ -240,6 +240,51 @@ def main() -> None:
         except Exception as e:  # keep the suite robust on odd backends
             print(f"# pallas decoder bench skipped: {e}")
 
+    # long-sentence mode: anti-repeat constraints ON, T_in=512 (past the old
+    # 384 envelope) — the reference's headline feature stays on the kernel
+    # path (forward_attention.py:171-215 in-kernel)
+    import dataclasses as _dc
+
+    cfg_ar = _dc.replace(cfg.tacotron, anti_repeat=True)
+    if on_tpu and DK.supported(cfg_ar) and DK.supported_shape(1, 512, cfg_ar):
+        try:
+            T_long = 512
+            ind = jnp.ones((1, T_long), jnp.int32)
+            lnd = jnp.full((1,), T_long, jnp.int32)
+            pl_params = dict(params)
+
+            def long_decode(it):
+                def run(k):
+                    def body(i, acc):
+                        from tacotronv2_wavernn_chinese_tpu.ops import (
+                            tacotron_decoder_kernel as DK2,
+                        )
+
+                        mem = jax.random.normal(
+                            jax.random.PRNGKey(0), (1, T_long, 2 * cfg.tacotron.encoder_lstm_units)
+                        )
+                        fr, st, al, sl = DK2.decode_autoregressive_pallas(
+                            pl_params, cfg_ar, mem, jnp.ones((1, T_long)),
+                            jax.random.fold_in(k, i), it,
+                        )
+                        return acc + jnp.sum(fr)
+
+                    return jax.lax.fori_loop(0, REPS, body, 0.0)
+
+                return jax.jit(run)
+
+            dt_lo = timed(long_decode(it_lo), key)
+            dt_hi = timed(long_decode(it_hi), key)
+            per_step = max((dt_hi - dt_lo) / (REPS * (it_hi - it_lo)), 1e-9)
+            emit(
+                "tacotron_decoder_kernel_long_sentence_steps_per_second",
+                1.0 / per_step,
+                "steps/s",
+                batch_size=1, t_in=T_long, anti_repeat=True,
+            )
+        except Exception as e:
+            print(f"# long-sentence kernel bench skipped: {e}")
+
     # ---- wavernn train step ----------------------------------------------
     from tacotronv2_wavernn_chinese_tpu.train import wavernn_task as WT
 
