@@ -111,6 +111,10 @@ class TacotronModelConfig:
     # clipping of mel outputs (reference tacotron.py:111-112)
     clip_outputs: bool = True
     lower_bound_decay: float = 0.1
+    # fused-decoder-kernel precision for VMEM-resident attention keys/values:
+    # "bf16" (default; T_in envelope ~768) or "f32" (exact energies, ~384).
+    # Weights stay bf16 either way; dtype=f32 parity tests always keep kv f32.
+    kernel_kv_dtype: str = "bf16"
 
 
 @dataclass(frozen=True)

@@ -95,6 +95,8 @@ def supported_shape(
         F = cfg.attention_filters
         taps = cfg.attention_kernel
     b = min(batch, 8)  # kernel-native batch; the wrapper groups larger ones
+    if cfg is not None and cfg.kernel_kv_dtype != "bf16":
+        dtype = jnp.float32
     kv_bytes = 2 if dtype == jnp.bfloat16 else 4
     weights = 2 * (  # bf16
         (pre + V + u) * 4 * u  # lstm1 split kernels
@@ -455,9 +457,14 @@ def decode_autoregressive_pallas(
 
     Batches beyond the Mosaic tile envelope (B > 8) run as sequential
     8-example kernel invocations (the last group padded by repeating a real
-    example); the encoder axis is processed in <=128-wide lane tiles, so
-    T_in is VMEM-bound at 384 (``supported_shape``) — longer inputs fall
-    back to the XLA decode."""
+    example); the encoder axis is processed in <=128-wide lane tiles and
+    T_in is VMEM-bound (``supported_shape``: ~768 with bf16 keys/values,
+    ~384 at f32) — longer inputs fall back to the XLA decode.
+
+    Precision: weights ride VMEM in ``dtype`` (bf16 default).  Keys/values
+    follow ``cfg.kernel_kv_dtype`` ("bf16" default — halves the dominant
+    per-position footprint; set "f32" to keep attention energies exact) and
+    are always f32 when ``dtype`` itself is f32 (the parity-test mode)."""
     from ..models import attention as ATT
 
     B, T_in, V = memory.shape
@@ -509,11 +516,14 @@ def decode_autoregressive_pallas(
         float(cfg.zoneout_rate), float(cfg.dropout_rate), B, T_in, A, V, u, M, F, taps,
         bool(cfg.anti_repeat), int(cfg.dwell_limit_first), int(cfg.dwell_limit_rest),
     )
-    # keys/values ride VMEM in the weight dtype (bf16 on TPU): halves the
-    # dominant per-position footprint, roughly doubling the T_in envelope;
-    # the kernel upcasts per-tile to f32 before use (parity tests run f32)
-    keys = keys.astype(dtype)
-    memory_kv = memory.astype(dtype)
+    # keys/values ride VMEM in bf16 by default: halves the dominant
+    # per-position footprint, roughly doubling the T_in envelope; the kernel
+    # upcasts per-tile to f32 before use.  cfg.kernel_kv_dtype="f32" keeps
+    # attention energies exact (shrinking the envelope back to ~384), and
+    # dtype=f32 (the parity-test mode) always keeps kv f32.
+    kv_dtype = dtype if cfg.kernel_kv_dtype == "bf16" else jnp.float32
+    keys = keys.astype(kv_dtype)
+    memory_kv = memory.astype(kv_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -383,6 +383,42 @@ def test_bundle_detects_corruption(tmp_path):
         read_bundle(prefix)
 
 
+def test_bundle_cross_validates_against_real_tensorflow(tmp_path):
+    """Gold-standard format check (runs when tensorflow is installed):
+    tf.train.load_checkpoint reads OUR bundles bit-exactly, and we read a
+    bundle written by TF's own Saver bit-exactly."""
+    tf = pytest.importorskip("tensorflow")
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "Tacotron_model/inference/inputs_embedding": rng.standard_normal(
+            (191, 128)
+        ).astype(np.float32),
+        "a/kernel": rng.standard_normal((31, 1, 32)).astype(np.float32),
+        "global_step": np.asarray(206500, np.int64),
+        "ints": np.arange(6, dtype=np.int32).reshape(2, 3),
+    }
+    ours = str(tmp_path / "ours.ckpt-1")
+    write_bundle(ours, tensors)
+    reader = tf.train.load_checkpoint(ours)
+    assert sorted(reader.get_variable_to_shape_map()) == sorted(tensors)
+    for n, v in tensors.items():
+        got = reader.get_tensor(n)
+        assert got.dtype == v.dtype and got.shape == v.shape
+        assert np.array_equal(got, v), n
+
+    theirs = str(tmp_path / "tfw.ckpt")
+    with tf.Graph().as_default():
+        vs = {n: tf.Variable(v, name=n) for n, v in tensors.items()}
+        saver = tf.compat.v1.train.Saver(var_list=vs)
+        with tf.compat.v1.Session() as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            saver.save(sess, theirs, write_meta_graph=False)
+    back = read_bundle(theirs)
+    for n, v in tensors.items():
+        assert np.array_equal(back[n], v), n
+
+
 REF_INDEX = "/root/reference/logs-Tacotron-2/taco_pretrained/tacotron_model.ckpt-206500.index"
 
 

@@ -211,7 +211,18 @@ def load_tf_variables(ckpt_path: str | None, npz_path: str | None) -> Dict[str, 
         # the .index SSTable + .data shards directly, with crc verification
         from tools.tf_bundle import read_bundle
 
-        return read_bundle(ckpt_path)
+        try:
+            return read_bundle(ckpt_path)
+        except FileNotFoundError as e:
+            raise SystemExit(
+                f"checkpoint data shard missing: {e}.\n"
+                f"Only '{ckpt_path}.index' appears to be present — the "
+                "reference mount ships the .index but lists the .data blob "
+                "in .MISSING_LARGE_BLOBS.  Obtain the full checkpoint "
+                "(<prefix>.data-00000-of-00001 next to the .index), or "
+                "export it elsewhere to .npz "
+                "(np.savez(path, **{name: tensor})) and pass --npz."
+            ) from e
 
 
 def import_checkpoint(cfg, tf_vars: Dict[str, np.ndarray]):

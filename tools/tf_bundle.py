@@ -54,10 +54,41 @@ NP_TO_DT = {v: k for k, v in DTYPES.items() if k != 14}
 
 
 # ---------------------------------------------------------------------------
-# crc32c (Castagnoli) — table-driven, byte-at-a-time
+# crc32c (Castagnoli): native slice-by-8 (native/crc32c.cc, ~GB/s) with a
+# table-driven pure-Python fallback (~MB/s) — real checkpoints are hundreds
+# of MB, so verification must not run byte-at-a-time in Python
 # ---------------------------------------------------------------------------
 
 _CRC_TABLE: List[int] = []
+_NATIVE_CRC = None
+
+
+def _native_crc():
+    """ctypes handle to native/libcrc32c.so, building it on demand."""
+    global _NATIVE_CRC
+    if _NATIVE_CRC is not None:
+        return _NATIVE_CRC or None
+    import ctypes
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+    lib_path = os.path.join(native_dir, "libcrc32c.so")
+    try:
+        if not os.path.exists(lib_path):
+            subprocess.run(
+                ["make", "-C", native_dir, "libcrc32c.so"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(lib_path)
+        lib.crc32c_update.restype = ctypes.c_uint32
+        lib.crc32c_update.argtypes = [
+            ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        _NATIVE_CRC = lib
+    except Exception:
+        _NATIVE_CRC = False
+    return _NATIVE_CRC or None
 
 
 def _crc_table() -> List[int]:
@@ -72,6 +103,9 @@ def _crc_table() -> List[int]:
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
+    lib = _native_crc()
+    if lib is not None:
+        return int(lib.crc32c_update(crc, data, len(data)))
     table = _crc_table()
     c = crc ^ 0xFFFFFFFF
     for b in data:
