@@ -110,18 +110,24 @@ def _conv1d_valid(p: Params, x: jax.Array) -> jax.Array:
 
 
 def melresnet(params: Params, mels: jax.Array, train: bool):
-    """[B, T_mel, M] -> ([B, T_mel - 2*pad, res_out_dims], new_params)."""
+    """[B, T_mel, M] -> ([B, T_mel - 2*pad, res_out_dims], new_params).
+
+    BatchNorm uses the TORCH defaults (eps 1e-5, running-stat momentum 0.1,
+    i.e. new = 0.9*old + 0.1*batch) — the vocoder side is a torch model in
+    the reference (nn.BatchNorm1d, fatchord_version.py:18-36), unlike the
+    TF acoustic side (eps 1e-3)."""
     p = params["resnet"]
+    bn = lambda pp, x: L.batchnorm(pp, x, train, momentum=0.9, eps=1e-5)
     x = _conv1d_valid(p["conv_in"], mels)
-    x, nbn_in = L.batchnorm(p["bn_in"], x, train)
+    x, nbn_in = bn(p["bn_in"], x)
     x = jax.nn.relu(x)
     new_blocks = []
     for bp in p["blocks"]:
         y = _conv1d_valid(bp["conv1"], x)
-        y, nbn1 = L.batchnorm(bp["bn1"], y, train)
+        y, nbn1 = bn(bp["bn1"], y)
         y = jax.nn.relu(y)
         y = _conv1d_valid(bp["conv2"], y)
-        y, nbn2 = L.batchnorm(bp["bn2"], y, train)
+        y, nbn2 = bn(bp["bn2"], y)
         x = x + y
         new_blocks.append(dict(bp, bn1=nbn1, bn2=nbn2))
     x = _conv1d_valid(p["conv_out"], x)
