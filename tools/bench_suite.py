@@ -389,7 +389,7 @@ def main() -> None:
         mel = lat_decode(k)
         sync(mel)  # the Synthesizer's host boundary: trim-at-stop runs on host
         # the vocoder's unit-range contract (infer/synthesizer.py:154)
-        m = np.asarray(mel_to_unit(mel[0]))
+        m = np.asarray(mel_to_unit(mel[0], cfg.audio))
         lf, _ = W.fold_with_overlap(
             m, cfg.wavernn_gen.target // hop, cfg.wavernn_gen.overlap // hop
         )
