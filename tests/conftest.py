@@ -21,6 +21,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles ~200 XLA:CPU programs (several at full model
+    size) in one process; retaining every executable eventually segfaulted
+    inside backend_compile_and_load near the end of the run (exit 139,
+    order-dependent — the tail files alone pass).  Releasing compiled
+    programs per module keeps the live-executable footprint bounded."""
+    yield
+    jax.clear_caches()
+
 
 def make_tiny_cfg(**train_kw):
     """Shared tiny model config for fast CPU tests (importable via

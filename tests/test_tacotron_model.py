@@ -220,6 +220,28 @@ def test_anti_repeat_constraint_runs():
     assert np.isfinite(np.asarray(out.mel_outputs)).all()
 
 
+def test_long_sentence_anti_repeat_window_discipline():
+    """The reference's headline long-sentence mode (forward_attention.py
+    README.md:77-83): at T_in=300 with anti_repeat the alignments must stay
+    windowed (<=5 nonzero bins per step) and the attended position must
+    advance monotonically — even with random weights."""
+    cfg = _tiny_cfg(anti_repeat=True)
+    p = T.init_tacotron(jax.random.PRNGKey(1), cfg)
+    # keep decoding past random-init stop firings
+    p["stop_projection"]["b"] = p["stop_projection"]["b"] - 12.0
+    T_in = 300
+    rng = np.random.RandomState(7)
+    inputs = jnp.asarray(rng.randint(2, 100, size=(1, T_in)), jnp.int32)
+    lengths = jnp.asarray([T_in], jnp.int32)
+    out = T.forward_inference(p, cfg, inputs, lengths, jax.random.PRNGKey(3), max_iters=40)
+    aligns = np.asarray(out.alignments[0])  # [40, 300]
+    nz = (aligns > 1e-9).sum(-1)
+    assert nz.max() <= 5, nz.max()
+    arg = aligns.argmax(-1)
+    assert np.all(np.diff(arg) >= 0), arg  # monotone under the constraint
+    assert np.isfinite(np.asarray(out.mel_outputs)).all()
+
+
 @pytest.mark.parametrize("r", [2, 3])
 def test_outputs_per_step_r(r):
     """r>1 decoding (reference outputs_per_step): r mel frames per decoder

@@ -18,6 +18,7 @@ in the importer makes this fail.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -383,11 +384,42 @@ def test_bundle_detects_corruption(tmp_path):
         read_bundle(prefix)
 
 
+def test_native_crc32c_matches_python():
+    """native/libcrc32c.so (slice-by-8) must agree with the pure-Python
+    table-driven fallback, including incremental extends (the block-trailer
+    path feeds the crc of the data back in for the type byte)."""
+    import tools.tf_bundle as B
+
+    data = np.random.default_rng(3).integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+    native_lib = B._native_crc()
+    if native_lib is None:
+        pytest.skip("native crc32c unavailable (no compiler?)")
+    native = B.crc32c(data)
+    c_inc = B.crc32c(data[:12345])
+    c_inc = B.crc32c(data[12345:], c_inc)
+    assert c_inc == native
+    saved, B._NATIVE_CRC = B._NATIVE_CRC, False
+    try:
+        assert B.crc32c(data[:4096]) == native_lib.crc32c_update(0, data[:4096], 4096)
+    finally:
+        B._NATIVE_CRC = saved
+
+
 def test_bundle_cross_validates_against_real_tensorflow(tmp_path):
     """Gold-standard format check (runs when tensorflow is installed):
     tf.train.load_checkpoint reads OUR bundles bit-exactly, and we read a
-    bundle written by TF's own Saver bit-exactly."""
-    tf = pytest.importorskip("tensorflow")
+    bundle written by TF's own Saver bit-exactly.
+
+    The TF side runs in a SUBPROCESS: importing tensorflow beside jax/torch
+    in the pytest process segfaults at interpreter teardown (exit 139)."""
+    import importlib.util
+    import subprocess
+    import sys
+
+    # NOT importorskip: that would import tensorflow into the pytest
+    # process, which is exactly the teardown-segfault this test avoids
+    if importlib.util.find_spec("tensorflow") is None:
+        pytest.skip("tensorflow not installed")
 
     rng = np.random.default_rng(0)
     tensors = {
@@ -398,23 +430,35 @@ def test_bundle_cross_validates_against_real_tensorflow(tmp_path):
         "global_step": np.asarray(206500, np.int64),
         "ints": np.arange(6, dtype=np.int32).reshape(2, 3),
     }
+    np.savez(tmp_path / "tensors.npz", **tensors)
     ours = str(tmp_path / "ours.ckpt-1")
     write_bundle(ours, tensors)
-    reader = tf.train.load_checkpoint(ours)
-    assert sorted(reader.get_variable_to_shape_map()) == sorted(tensors)
-    for n, v in tensors.items():
-        got = reader.get_tensor(n)
-        assert got.dtype == v.dtype and got.shape == v.shape
-        assert np.array_equal(got, v), n
 
-    theirs = str(tmp_path / "tfw.ckpt")
-    with tf.Graph().as_default():
-        vs = {n: tf.Variable(v, name=n) for n, v in tensors.items()}
-        saver = tf.compat.v1.train.Saver(var_list=vs)
-        with tf.compat.v1.Session() as sess:
-            sess.run(tf.compat.v1.global_variables_initializer())
-            saver.save(sess, theirs, write_meta_graph=False)
-    back = read_bundle(theirs)
+    script = f"""
+import numpy as np
+import tensorflow as tf
+tensors = dict(np.load({str(tmp_path / 'tensors.npz')!r}))
+reader = tf.train.load_checkpoint({ours!r})
+assert sorted(reader.get_variable_to_shape_map()) == sorted(tensors)
+for n, v in tensors.items():
+    got = reader.get_tensor(n)
+    assert got.dtype == v.dtype and got.shape == v.shape, n
+    assert np.array_equal(got, v), n
+with tf.Graph().as_default():
+    vs = {{n: tf.Variable(v, name=n) for n, v in tensors.items()}}
+    saver = tf.compat.v1.train.Saver(var_list=vs)
+    with tf.compat.v1.Session() as sess:
+        sess.run(tf.compat.v1.global_variables_initializer())
+        saver.save(sess, {str(tmp_path / 'tfw.ckpt')!r}, write_meta_graph=False)
+print("TF_SIDE_OK")
+"""
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, env=env,
+    )
+    assert "TF_SIDE_OK" in proc.stdout, proc.stderr[-2000:]
+
+    back = read_bundle(str(tmp_path / "tfw.ckpt"))
     for n, v in tensors.items():
         assert np.array_equal(back[n], v), n
 

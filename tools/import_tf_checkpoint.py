@@ -198,31 +198,35 @@ def _get_path(tree, path):
 def load_tf_variables(ckpt_path: str | None, npz_path: str | None) -> Dict[str, np.ndarray]:
     if npz_path:
         return dict(np.load(npz_path, allow_pickle=False))
+    # PRIMARY path: the dependency-free tensor-bundle reader
+    # (tools/tf_bundle.py, bit-exact cross-validated against TF's own reader
+    # and writer in tests/test_tf_import.py) — parses the .index SSTable +
+    # .data shards directly with crc verification.  tensorflow, when
+    # installed, is only a fallback for exotic bundles; it is NOT imported
+    # here by default because loading TF beside JAX/torch in one process can
+    # segfault at interpreter teardown.
+    from tools.tf_bundle import read_bundle
+
     try:
-        import tensorflow as tf  # noqa: F401  (not in this image; graceful)
+        return read_bundle(ckpt_path)
+    except FileNotFoundError as e:
+        raise SystemExit(
+            f"checkpoint data shard missing: {e}.\n"
+            f"Only '{ckpt_path}.index' appears to be present — the "
+            "reference mount ships the .index but lists the .data blob "
+            "in .MISSING_LARGE_BLOBS.  Obtain the full checkpoint "
+            "(<prefix>.data-00000-of-00001 next to the .index), or "
+            "export it elsewhere to .npz "
+            "(np.savez(path, **{name: tensor})) and pass --npz."
+        ) from e
+    except ValueError:
+        import tensorflow as tf  # fallback for non-standard bundles
 
         reader = tf.train.load_checkpoint(ckpt_path)
         return {
             name: reader.get_tensor(name)
             for name in reader.get_variable_to_shape_map()
         }
-    except ImportError:
-        # dependency-free tensor-bundle reader (tools/tf_bundle.py): parses
-        # the .index SSTable + .data shards directly, with crc verification
-        from tools.tf_bundle import read_bundle
-
-        try:
-            return read_bundle(ckpt_path)
-        except FileNotFoundError as e:
-            raise SystemExit(
-                f"checkpoint data shard missing: {e}.\n"
-                f"Only '{ckpt_path}.index' appears to be present — the "
-                "reference mount ships the .index but lists the .data blob "
-                "in .MISSING_LARGE_BLOBS.  Obtain the full checkpoint "
-                "(<prefix>.data-00000-of-00001 next to the .index), or "
-                "export it elsewhere to .npz "
-                "(np.savez(path, **{name: tensor})) and pass --npz."
-            ) from e
 
 
 def import_checkpoint(cfg, tf_vars: Dict[str, np.ndarray]):
