@@ -25,9 +25,13 @@ def main() -> None:
     enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--text", default=None)
-    ap.add_argument("--ckpt-dir", required=True)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--params-npz", default=None,
+                    help="flat .npz Tacotron weights (e.g. from tools/import_tf_checkpoint)")
     ap.add_argument("--wavernn-ckpt-dir", default=None,
                     help="if set, vocode with WaveRNN instead of Griffin-Lim")
+    ap.add_argument("--wavernn-params-npz", default=None,
+                    help="flat .npz WaveRNN weights (tools/import_torch_wavernn)")
     ap.add_argument("--out-dir", default="tacotron_inference_output")
     ap.add_argument("--live", action="store_true", help="stdin REPL")
     ap.add_argument("--override", default="")
@@ -36,7 +40,37 @@ def main() -> None:
     cfg = default_config()
     if args.override:
         cfg = cfg.override(args.override)
-    synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, args.wavernn_ckpt_dir)
+    if not args.ckpt_dir and not args.params_npz:
+        ap.error("one of --ckpt-dir / --params-npz is required")
+    if args.params_npz or args.wavernn_params_npz:
+        import jax
+
+        from ..utils.checkpoints import CheckpointManager, load_params_npz
+
+        if args.params_npz:
+            params = load_params_npz(args.params_npz)
+        else:
+            from ..train import tacotron_task as TT
+
+            st = CheckpointManager(args.ckpt_dir).restore(
+                TT.init_state(jax.random.PRNGKey(0), cfg)
+            )
+            if st is None:
+                raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
+            params = st.params
+        voc = None
+        if args.wavernn_params_npz:
+            voc = load_params_npz(args.wavernn_params_npz)
+        elif args.wavernn_ckpt_dir:
+            from ..train import wavernn_task as WT
+
+            vs = CheckpointManager(args.wavernn_ckpt_dir).restore(
+                WT.init_state(jax.random.PRNGKey(0), cfg)
+            )
+            voc = vs.params if vs is not None else None
+        synth = Synthesizer(cfg, params, vocoder_params=voc)
+    else:
+        synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, args.wavernn_ckpt_dir)
 
     if args.live:
         synth.run_live()

@@ -54,7 +54,9 @@ def main() -> None:
     enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--file", required=True, help="mel .npy ([T,80] in [0,1]) or .wav")
-    ap.add_argument("--ckpt-dir", required=True)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--params-npz", default=None,
+                    help="flat .npz weights (e.g. from tools/import_torch_wavernn)")
     ap.add_argument("--output", default=None)
     ap.add_argument("--unbatched", action="store_true")
     ap.add_argument("--target", type=int, default=None)
@@ -74,11 +76,19 @@ def main() -> None:
         gen = dataclasses.replace(gen, overlap=args.overlap)
     cfg = dataclasses.replace(cfg, wavernn_gen=gen)
 
-    state = CheckpointManager(args.ckpt_dir).restore(
-        task.init_state(jax.random.PRNGKey(0), cfg)
-    )
-    if state is None:
-        raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
+    if not args.ckpt_dir and not args.params_npz:
+        ap.error("one of --ckpt-dir / --params-npz is required")
+    if args.params_npz:
+        from ..utils.checkpoints import load_params_npz
+
+        params = load_params_npz(args.params_npz)
+    else:
+        state = CheckpointManager(args.ckpt_dir).restore(
+            task.init_state(jax.random.PRNGKey(0), cfg)
+        )
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
+        params = state.params
 
     if args.file.endswith(".npy"):
         mel = np.load(args.file)
@@ -92,7 +102,7 @@ def main() -> None:
         f"batched_t{cfg.wavernn_gen.target}_o{cfg.wavernn_gen.overlap}"
     )
     out = args.output or f"{base}_{kind}.wav"
-    gen_from_mel(cfg, state.params, mel, out)
+    gen_from_mel(cfg, params, mel, out)
     infolog.log(f"wrote {out}")
 
 
