@@ -26,6 +26,26 @@ from ..dsp.wav import load_wav, preemphasis, rescale, trim_silence
 from ..frontend import get_pyin
 
 
+def condition_wav(audio_cfg, wav_path: str):
+    """Shared wav-conditioning chain (trim -> preemphasis -> rescale), the
+    single source of truth for feature extraction AND the mel-parity
+    harness (tools/check_mel_parity.py).  Returns (wav, preemphasized) or
+    None when the file is missing."""
+    try:
+        wav = load_wav(wav_path, audio_cfg.sample_rate)
+    except FileNotFoundError:
+        return None
+    if audio_cfg.trim_silence:
+        wav = trim_silence(
+            wav, audio_cfg.trim_top_db, audio_cfg.trim_fft_size, audio_cfg.trim_hop_size
+        )
+    preem = preemphasis(wav, audio_cfg.preemphasis, audio_cfg.preemphasize).astype(np.float32)
+    if audio_cfg.rescale:
+        wav = rescale(wav, audio_cfg.rescaling_max)
+        preem = rescale(preem, audio_cfg.rescaling_max).astype(np.float32)
+    return wav.astype(np.float32), preem
+
+
 @dataclass
 class Utterance:
     index: str
@@ -77,17 +97,7 @@ def process_corpus(
 
     def condition(u: Utterance):
         """Host-side wav conditioning; None if the wav is missing."""
-        try:
-            wav = load_wav(u.wav_path, a.sample_rate)
-        except FileNotFoundError:
-            return None
-        if a.trim_silence:
-            wav = trim_silence(wav, a.trim_top_db, a.trim_fft_size, a.trim_hop_size)
-        preem = preemphasis(wav, a.preemphasis, a.preemphasize).astype(np.float32)
-        if a.rescale:
-            wav = rescale(wav, a.rescaling_max)
-            preem = rescale(preem, a.rescaling_max).astype(np.float32)
-        return wav.astype(np.float32), preem
+        return condition_wav(a, u.wav_path)
 
     # pass 1: conditioned lengths only, so the full corpus shard is never
     # resident — O(bucket_batch) audio in memory instead of ~2x corpus size

@@ -67,7 +67,9 @@ def main() -> None:
             vs = CheckpointManager(args.wavernn_ckpt_dir).restore(
                 WT.init_state(jax.random.PRNGKey(0), cfg)
             )
-            voc = vs.params if vs is not None else None
+            if vs is None:  # never silently fall back to Griffin-Lim
+                raise FileNotFoundError(f"no checkpoint under {args.wavernn_ckpt_dir}")
+            voc = vs.params
         synth = Synthesizer(cfg, params, vocoder_params=voc)
     else:
         synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, args.wavernn_ckpt_dir)

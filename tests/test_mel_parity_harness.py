@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from tests.test_tf_import import P, oracle_forward, synthetic_tf_vars, tiny_cfg
+from tests.test_tf_import import oracle_forward, synthetic_tf_vars, tiny_cfg
 from tools.check_mel_parity import run as harness_run
 from tools.import_tf_checkpoint import import_checkpoint
 from tools.tf_bundle import write_bundle
@@ -69,15 +69,6 @@ def _setup(tmp_path, perturb: bool):
         )
         np.save(ref_dir / f"mel-{index}.npy", mel_o[0])
     return cfg, params, rows, str(gt_dir), str(ref_dir)
-
-
-def _encode_ids_match(cfg):
-    """tiny vocab (13) must still tokenize '你好。' deterministically."""
-    from tacotronv2_wavernn_chinese_tpu.frontend import default_symbols, get_pyin
-
-    pyin, _ = get_pyin("你好。")
-    ids = default_symbols().encode(pyin)
-    return len(ids) > 0
 
 
 def test_harness_passes_on_oracle_reference(tmp_path):

@@ -400,6 +400,12 @@ def test_native_crc32c_matches_python():
     assert c_inc == native
     saved, B._NATIVE_CRC = B._NATIVE_CRC, False
     try:
+        # pure-Python path: one-shot AND incremental (nonzero crc seed,
+        # the block-trailer extend pattern) must match the native result
+        assert B.crc32c(data) == native
+        py_inc = B.crc32c(data[:777])
+        py_inc = B.crc32c(data[777:], py_inc)
+        assert py_inc == native
         assert B.crc32c(data[:4096]) == native_lib.crc32c_update(0, data[:4096], 4096)
     finally:
         B._NATIVE_CRC = saved

@@ -57,16 +57,15 @@ def load_params(cfg, tf_ckpt: str | None, npz: str | None):
 def gt_mel_for(cfg, index: str, wav_dir: str | None, gt_mels: str | None) -> np.ndarray:
     if gt_mels:
         return np.load(os.path.join(gt_mels, f"mel-{index}.npy"))
+    # the SAME conditioning chain that produced the training features
+    from tacotronv2_wavernn_chinese_tpu.data.preprocess import condition_wav
     from tacotronv2_wavernn_chinese_tpu.dsp.spectrogram import MelPipeline
-    from tacotronv2_wavernn_chinese_tpu.dsp.wav import load_wav, preemphasis, rescale, trim_silence
 
     a = cfg.audio
-    wav = load_wav(os.path.join(wav_dir, f"{index}.wav"), a.sample_rate)
-    if a.trim_silence:
-        wav = trim_silence(wav, a.trim_top_db, a.trim_fft_size, a.trim_hop_size)
-    preem = preemphasis(wav, a.preemphasis, a.preemphasize).astype(np.float32)
-    if a.rescale:
-        preem = rescale(preem, a.rescaling_max).astype(np.float32)
+    cond = condition_wav(a, os.path.join(wav_dir, f"{index}.wav"))
+    if cond is None:
+        raise FileNotFoundError(os.path.join(wav_dir, f"{index}.wav"))
+    _, preem = cond
     return np.asarray(MelPipeline(a).melspectrogram(preem))
 
 
@@ -91,7 +90,8 @@ def teacher_forced_mel(cfg, params, pyin: str, gt_mel: np.ndarray) -> np.ndarray
     return np.asarray(out.mel_outputs[0])[: gt_mel.shape[0]]
 
 
-def run(cfg, params, rows, wav_dir, gt_mels, ref_mels, atol: float, log=print):
+def run(cfg, params, rows, wav_dir, gt_mels, ref_mels, atol: float, log=print,
+        ref_scale: str = "auto"):
     from tacotronv2_wavernn_chinese_tpu.frontend import get_pyin
 
     per = []
@@ -100,11 +100,18 @@ def run(cfg, params, rows, wav_dir, gt_mels, ref_mels, atol: float, log=print):
         gt = gt_mel_for(cfg, index, wav_dir, gt_mels)
         ours = teacher_forced_mel(cfg, params, pyin, gt)
         ref = np.load(os.path.join(ref_mels, f"mel-{index}.npy"))
-        if ref.ndim == 2 and ref.shape[1] != 80:
+        if ref.ndim == 2 and ref.shape[1] != 80 and ref.shape[0] == 80:
             ref = ref.T
-        if ref.max() <= 1.001 and ref.min() >= -0.001:
-            # the reference GTA bridge saves [0,1]-scaled mels
-            # (wavernn_preprocess.py:156-159) — undo for comparison
+        # the reference GTA bridge saves [0,1]-scaled mels
+        # (wavernn_preprocess.py:156-159); --ref-scale makes the choice
+        # explicit ('auto' falls back to a range heuristic and can be
+        # fooled by interpolation overshoots — prefer unit/acoustic)
+        is_unit = {
+            "unit": True,
+            "acoustic": False,
+            "auto": bool(ref.max() <= 1.001 and ref.min() >= -0.001),
+        }[ref_scale]
+        if is_unit:
             from tacotronv2_wavernn_chinese_tpu.dsp.spectrogram import unit_to_mel
 
             ref = np.asarray(unit_to_mel(ref, cfg.audio))
@@ -120,6 +127,10 @@ def run(cfg, params, rows, wav_dir, gt_mels, ref_mels, atol: float, log=print):
         per.append(row)
         log(f"{index}: L1={row['l1']:.5f} max={row['max_abs']:.5f} "
             f"{'PASS' if row['allclose'] else 'FAIL'}")
+    if not per:
+        raise SystemExit(
+            "no sentences to compare — check --train-txt format and --sentences"
+        )
     return {
         "atol": atol,
         "n_sentences": len(per),
@@ -142,6 +153,8 @@ def main() -> None:
     ap.add_argument("--gt-mels", default=None, help="dir of mel-XXXXXX.npy targets")
     ap.add_argument("--ref-mels", required=True,
                     help="dir of reference-produced mel-XXXXXX.npy to compare against")
+    ap.add_argument("--ref-scale", choices=("auto", "unit", "acoustic"), default="auto",
+                    help="scale of --ref-mels dumps ([0,1] unit vs [-4,4] acoustic)")
     ap.add_argument("--atol", type=float, default=1e-3)
     ap.add_argument("--out", default="MEL_PARITY.json")
     ap.add_argument("--override", default="")
@@ -166,7 +179,8 @@ def main() -> None:
         if len(rows) >= args.sentences:
             break
 
-    report = run(cfg, params, rows, args.wav_dir, args.gt_mels, args.ref_mels, args.atol)
+    report = run(cfg, params, rows, args.wav_dir, args.gt_mels, args.ref_mels,
+                 args.atol, ref_scale=args.ref_scale)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items() if k != "per_sentence"}))

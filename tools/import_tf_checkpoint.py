@@ -219,9 +219,18 @@ def load_tf_variables(ckpt_path: str | None, npz_path: str | None) -> Dict[str, 
             "export it elsewhere to .npz "
             "(np.savez(path, **{name: tensor})) and pass --npz."
         ) from e
-    except ValueError:
-        import tensorflow as tf  # fallback for non-standard bundles
-
+    except ValueError as bundle_err:
+        # fallback for non-standard bundles ONLY when tensorflow exists;
+        # otherwise surface the native reader's diagnosis (a crc mismatch
+        # here usually means real corruption, not an exotic format)
+        try:
+            import tensorflow as tf
+        except ImportError:
+            raise SystemExit(
+                f"failed to read tensor bundle: {bundle_err} "
+                "(and tensorflow is not installed for a second opinion)"
+            ) from bundle_err
+        print(f"note: native bundle reader failed ({bundle_err}); retrying via tensorflow")
         reader = tf.train.load_checkpoint(ckpt_path)
         return {
             name: reader.get_tensor(name)
