@@ -110,8 +110,12 @@ def main() -> None:
 
     enable_compile_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt-dir", required=True)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--params-npz", default=None,
+                    help="flat .npz Tacotron weights (tools/import_tf_checkpoint)")
     ap.add_argument("--wavernn-ckpt-dir", default=None)
+    ap.add_argument("--wavernn-params-npz", default=None,
+                    help="flat .npz WaveRNN weights (tools/import_torch_wavernn)")
     ap.add_argument("--out", default="export/1")
     ap.add_argument("--override", default="")
     args = ap.parse_args()
@@ -121,13 +125,23 @@ def main() -> None:
         cfg = cfg.override(args.override)
 
     from ..train import tacotron_task as TT
-    from ..utils.checkpoints import CheckpointManager
+    from ..utils.checkpoints import CheckpointManager, load_params_npz
 
-    state = CheckpointManager(args.ckpt_dir).restore(TT.init_state(jax.random.PRNGKey(0), cfg))
-    if state is None:
-        raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
+    if not args.ckpt_dir and not args.params_npz:
+        ap.error("one of --ckpt-dir / --params-npz is required")
+    if args.params_npz:
+        params = load_params_npz(args.params_npz)
+    else:
+        state = CheckpointManager(args.ckpt_dir).restore(
+            TT.init_state(jax.random.PRNGKey(0), cfg)
+        )
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")
+        params = state.params
     voc_params = None
-    if args.wavernn_ckpt_dir:
+    if args.wavernn_params_npz:
+        voc_params = load_params_npz(args.wavernn_params_npz)
+    elif args.wavernn_ckpt_dir:
         from ..train import wavernn_task as WT
 
         wstate = CheckpointManager(args.wavernn_ckpt_dir).restore(
@@ -136,7 +150,7 @@ def main() -> None:
         if wstate is None:
             raise FileNotFoundError(f"no checkpoint under {args.wavernn_ckpt_dir}")
         voc_params = wstate.params
-    out = export_artifact(cfg, state.params, args.out, voc_params)
+    out = export_artifact(cfg, params, args.out, voc_params)
     print(f"exported serving artifact -> {out}")
 
 
