@@ -1,0 +1,85 @@
+"""Tensor-parallel (DP x TP) sharding for WaveRNN training via GSPMD.
+
+The models are small enough that pure DP is the primary axis (SURVEY §2.9),
+but the mesh keeps a ``model`` axis available: WaveRNN's widest matmuls —
+fc3's [fc_dims, 2**bits] class projection and the GRU gate kernels
+[*, 3*rnn_dims] — shard column-wise over ``model`` and GSPMD inserts the
+collectives (all-gather on the activations' contracting uses, psum-scatter
+on the grads), while everything else stays replicated.  This is annotation-
+driven SPMD: the train_step code is untouched; only the placement of the
+state/batch changes.
+
+Column-sharding is chosen because every sharded weight's OUTPUT axis is the
+sharded one, so forward matmuls are local and the (r, z, n) gate splits in
+layers.gru_step_from_gates fall on tile boundaries when (3H / tp) keeps H
+whole — enforced by ``tp_divisible``.
+
+Usage (see __graft_entry__.dryrun_multichip and tests):
+    mesh = make_mesh_2d(devices, dp, tp)
+    state = place_wavernn_state(mesh, state)
+    batch = shard_batch(mesh, batch)           # 'data' axis, unchanged
+    state, metrics = wavernn_task.train_step(state, batch, cfg)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# param-tree keys whose ndim>=2 leaves shard their LAST axis over 'model'
+TP_MODULES = ("gru1", "gru2", "fc1", "fc2", "fc3", "I")
+
+
+def make_mesh_2d(devices=None, dp: int | None = None, tp: int = 2) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = len(devices) // tp
+    assert dp * tp == len(devices), (dp, tp, len(devices))
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def tp_divisible(cfg, tp: int) -> bool:
+    """All column-sharded output axes must divide by tp WITHOUT splitting a
+    GRU gate block (wi/wh are [*, 3H]: shard each H-sized gate, so H % tp)."""
+    wc = cfg.wavernn
+    n_classes = 2 ** cfg.audio.bits if wc.mode == "RAW" else 30
+    return (
+        wc.rnn_dims % tp == 0
+        and wc.fc_dims % tp == 0
+        and n_classes % tp == 0
+    )
+
+
+def _leaf_spec(path_keys, leaf) -> P:
+    named = [getattr(k, "key", getattr(k, "name", None)) for k in path_keys]
+    if any(k in TP_MODULES for k in named) and getattr(leaf, "ndim", 0) >= 2:
+        return P(*([None] * (leaf.ndim - 1) + ["model"]))
+    return P()
+
+
+def wavernn_state_shardings(mesh: Mesh, state) -> Any:
+    """NamedSharding tree for a WaveRNNTrainState: params AND the matching
+    optimizer moments shard identically; step/counters replicate."""
+
+    def spec_tree(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf)), tree
+        )
+
+    import jax.tree_util as jtu
+
+    # opt_state mirrors the param tree inside optax's ScaleByAdamState etc.;
+    # tree_map_with_path over the WHOLE state works because the param-tree
+    # key names (gru1/fc3/...) appear on the moment paths too
+    return jtu.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf)), state
+    )
+
+
+def place_wavernn_state(mesh: Mesh, state):
+    """device_put the train state with TP shardings over ``mesh``."""
+    return jax.device_put(state, wavernn_state_shardings(mesh, state))
