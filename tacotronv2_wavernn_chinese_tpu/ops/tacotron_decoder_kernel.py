@@ -31,10 +31,13 @@ whole decode.  The grid iterates over frame chunks (TPU grids are
 sequential); outputs are time-major.  Early stop: when every example's stop
 sigmoid passes 0.5 the remaining steps skip compute.
 
-Scope (gated by ``supported()``): the ACTIVE reference configuration —
-``attention_mode='forward'`` (reference tacotron/models/attention.py:66-231),
-outputs_per_step r=1, no smoothing, no anti-repeat (those fall back to the
-XLA path).  Semantics mirror ``models.attention._forward_step`` and
+Scope (gated by ``supported()``): ``attention_mode`` 'forward' (the ACTIVE
+reference configuration, tacotron/models/attention.py:66-231, including the
+long-sentence anti-repeat machinery of forward_attention.py:176-215) or
+'lsa' (vanilla location-sensitive with the optional synthesis window,
+location_sensitive_attention.py:95-226); outputs_per_step r=1; no smoothing
+(gmm/graves and r>1 fall back to the XLA path).  Semantics mirror
+``models.attention._forward_step`` / ``_lsa_step`` and
 ``models.tacotron.decoder_step`` exactly; parity is tested in interpret mode
 with ``dropout_rate=0``.
 """
@@ -60,7 +63,7 @@ def supported(cfg: TacotronModelConfig) -> bool:
     # stays on the fast path); synthesis_constraint is LSA-only and a no-op
     # under forward attention, so it doesn't gate the kernel either.
     return (
-        cfg.attention_mode == "forward"
+        cfg.attention_mode in ("forward", "lsa")
         and cfg.outputs_per_step == 1
         and len(cfg.prenet_layers) == 2  # pack_weights packs exactly 2 layers
         # the 64-wide conv subtiles need taps-1 + 64 <= 128 so every tap
@@ -141,9 +144,11 @@ def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
         "att_wl": att["location_layer"]["w"],
         "att_v": att["v"][None, :],
         "att_b": att["b"][None, :],
-        "mu_c": att["mu_layer"]["w"][:V],
-        "mu_q": att["mu_layer"]["w"][V:],
-        "mu_b": att["mu_layer"]["b"][None, :],
+        # lsa has no transition-prob dense; zero placeholders keep the
+        # weight list static (the kernel skips the mu matmuls in lsa mode)
+        "mu_c": att["mu_layer"]["w"][:V] if "mu_layer" in att else jnp.zeros((V, 1)),
+        "mu_q": att["mu_layer"]["w"][V:] if "mu_layer" in att else jnp.zeros((u, 1)),
+        "mu_b": att["mu_layer"]["b"][None, :] if "mu_layer" in att else jnp.zeros((1, 1)),
         "fp_h": params["frame_projection"]["w"][:u],
         "fp_c": params["frame_projection"]["w"][u:],
         "fp_b": params["frame_projection"]["b"][None, :],
@@ -195,6 +200,7 @@ def _kernel(
     (
         zoneout, drop_rate, B, T_in, A, V, u, M, F, taps,
         anti_repeat, dwell_first, dwell_rest,
+        lsa, synth_constraint, synth_window, cumulative,
     ) = cfg_static
     weights = rest[: len(WEIGHT_ORDER)]
     (frames_out, stops_out, aligns_out) = rest[len(WEIGHT_ORDER) : len(WEIGHT_ORDER) + 3]
@@ -212,12 +218,19 @@ def _kernel(
     def _():
         for ref in (c1S, h1S, c2S, h2S, ctxS, muS, prevS, doneS):
             ref[:] = jnp.zeros_like(ref)
-        # alpha/cumulated start one-hot at position 0 (attention.py:112-117)
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
-        one_hot = jnp.where(col == 0, 1.0, 0.0).astype(f32)
-        alphaS[:] = one_hot
-        cumS[:] = one_hot
-        muS[:, 0] = jnp.full((B,), 0.5, f32)
+        if lsa:
+            # lsa carries plain (cumulated-if-enabled) alignments, zeros at
+            # start (attention.init_state lsa branch)
+            alphaS[:] = jnp.zeros_like(alphaS)
+            cumS[:] = jnp.zeros_like(cumS)
+            muS[:, 0] = jnp.zeros((B,), f32)
+        else:
+            # alpha/cumulated start one-hot at position 0 (attention.py:112-117)
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
+            one_hot = jnp.where(col == 0, 1.0, 0.0).astype(f32)
+            alphaS[:] = one_hot
+            cumS[:] = one_hot
+            muS[:, 0] = jnp.full((B,), 0.5, f32)
         energyS[:] = jnp.zeros_like(energyS)
         shiftS[:] = jnp.zeros_like(shiftS)
         maxattS[:] = jnp.zeros_like(maxattS)
@@ -308,7 +321,8 @@ def _kernel(
                             winS[:, d1 : wdt + taps - 1] = jnp.zeros(
                                 (B, wdt + taps - 1 - d1), f32
                             )
-                        winS[:, d0:d1] = cum[:, lo - padl + d0 : lo - padl + d1]
+                        conv_src = alpha if lsa else cum
+                        winS[:, d0:d1] = conv_src[:, lo - padl + d0 : lo - padl + d1]
                         f_tile = jnp.zeros((B, wdt, F), f32)
                         for j in range(taps):
                             win = winS[:, j : j + wdt]  # [B, wdt], j + wdt <= 128
@@ -330,21 +344,46 @@ def _kernel(
                     )  # [B, wdt]
                 energy = energyS[:]
 
+            col_ar = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
+            if lsa and synth_constraint:
+                # synthesis window around the previous argmax
+                # (models.attention.lsa_window_valid; reference
+                # location_sensitive_attention.py:201-214)
+                prev_m = maxattS[:, 0:1]
+                if anti_repeat:  # 'monotonic': [prev, prev + w)
+                    valid = (col_ar >= prev_m) & (col_ar < prev_m + synth_window)
+                else:  # 'window': [prev - ceil(w/2), prev + w//2)
+                    back = synth_window // 2 + (synth_window % 2)
+                    valid = (col_ar >= prev_m - back) & (
+                        col_ar < prev_m + synth_window // 2
+                    )
+                energy = jnp.where(valid, energy, -1e9)
             energy = jnp.where(mask > 0, energy, -1e9)
             energy = energy - jnp.max(energy, axis=-1, keepdims=True)
             exp_e = jnp.exp(energy)
             align_sm = exp_e / jnp.sum(exp_e, axis=-1, keepdims=True)
             cum_new = cum + align_sm
 
-            # forward recursion (attention.py:156-167,218-220)
-            # zero-fill right-shift of alpha via a padded scratch (a lane
-            # roll would not lower past one 128-lane tile): column 0 of
-            # shiftS stays zero from init, columns [1, T_in] hold alpha
-            shiftS[:, 1 : 1 + T_in] = alpha
-            shift_alpha = shiftS[:, :T_in]
-            align = ((1.0 - mu) * alpha + mu * shift_alpha + 1e-10) * align_sm
+            if lsa:
+                # vanilla location-sensitive: softmax IS the alignment
+                # (models.attention._lsa_step); carry cumulates if enabled
+                align = align_sm
+                maxv = jnp.max(align, axis=-1, keepdims=True)
+                arg = jnp.min(
+                    jnp.where(align == maxv, col_ar, T_in), axis=-1, keepdims=True
+                )
+                maxattS[:, 0:1] = arg
+                alpha_next = align + alpha if cumulative else align
+            else:
+                # forward recursion (attention.py:156-167,218-220)
+                # zero-fill right-shift of alpha via a padded scratch (a lane
+                # roll would not lower past one 128-lane tile): column 0 of
+                # shiftS stays zero from init, columns [1, T_in] hold alpha
+                shiftS[:, 1 : 1 + T_in] = alpha
+                shift_alpha = shiftS[:, :T_in]
+                align = ((1.0 - mu) * alpha + mu * shift_alpha + 1e-10) * align_sm
 
-            if anti_repeat:
+            if anti_repeat and not lsa:
                 # in-kernel port of models.attention.anti_repeat_constrain
                 # (reference forward_attention.py:176-215), applied between
                 # the forward recursion and the renormalize, exactly like
@@ -376,7 +415,8 @@ def _kernel(
                 maxattS[:, 0:1] = m
                 posrecS[:, 0:1] = pos_rec
 
-            align = align / jnp.sum(align, axis=-1, keepdims=True)
+            if not lsa:
+                align = align / jnp.sum(align, axis=-1, keepdims=True)
 
             ctx_new = jnp.zeros((B, V), f32)
             for lo, wdt in tiles:
@@ -389,9 +429,12 @@ def _kernel(
                     a_t * values_ref[:, lo : lo + wdt, :].astype(f32),
                     axis=1,
                 )  # [B, V]
-            mu_new = jax.nn.sigmoid(
-                mm(ctx_new, "mu_c") + mm(out2, "mu_q") + W["mu_b"][:].astype(f32)
-            )[:, 0:1]
+            if lsa:
+                mu_new = mu  # unused in lsa mode; keep the store uniform
+            else:
+                mu_new = jax.nn.sigmoid(
+                    mm(ctx_new, "mu_c") + mm(out2, "mu_q") + W["mu_b"][:].astype(f32)
+                )[:, 0:1]
 
             frames = mm(out2, "fp_h") + mm(ctx_new, "fp_c") + W["fp_b"][:].astype(f32)  # [B, M]
             stop = (mm(out2, "sp_h") + mm(ctx_new, "sp_c") + W["sp_b"][:].astype(f32))[:, 0]  # [B]
@@ -413,7 +456,7 @@ def _kernel(
             c2S[:] = c2n
             h2S[:] = h2n
             ctxS[:] = ctx_new
-            alphaS[:] = align
+            alphaS[:] = alpha_next if lsa else align
             cumS[:] = cum_new
             muS[:, 0:1] = mu_new
             prevS[:, :M] = frames
@@ -515,6 +558,8 @@ def decode_autoregressive_pallas(
     cfg_static = (
         float(cfg.zoneout_rate), float(cfg.dropout_rate), B, T_in, A, V, u, M, F, taps,
         bool(cfg.anti_repeat), int(cfg.dwell_limit_first), int(cfg.dwell_limit_rest),
+        cfg.attention_mode == "lsa", bool(cfg.synthesis_constraint),
+        int(cfg.synthesis_window), bool(cfg.cumulative_weights),
     )
     # keys/values ride VMEM in bf16 by default: halves the dominant
     # per-position footprint, roughly doubling the T_in envelope; the kernel

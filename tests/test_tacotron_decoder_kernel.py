@@ -35,7 +35,9 @@ def setup():
 def test_supported_gate():
     cfg = default_config().tacotron
     assert DK.supported(cfg)
-    assert not DK.supported(dataclasses.replace(cfg, attention_mode="lsa"))
+    assert DK.supported(dataclasses.replace(cfg, attention_mode="lsa"))
+    assert not DK.supported(dataclasses.replace(cfg, attention_mode="gmm"))
+    assert not DK.supported(dataclasses.replace(cfg, attention_mode="graves"))
     assert not DK.supported(dataclasses.replace(cfg, outputs_per_step=2))
     # the long-sentence anti-repeat machinery runs IN the kernel
     assert DK.supported(dataclasses.replace(cfg, anti_repeat=True))
@@ -221,6 +223,64 @@ def test_kv_f32_escape_hatch(setup):
     np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
     n = int(np.asarray(sl_r).min())
     np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+
+
+def test_parity_lsa(setup):
+    """Vanilla location-sensitive attention (cumulative) through the kernel
+    matches the XLA decode step-for-step."""
+    cfg, _, _, _ = setup
+    cfg_lsa = dataclasses.replace(cfg, attention_mode="lsa")
+    assert DK.supported(cfg_lsa)
+    params = T.init_tacotron(jax.random.PRNGKey(21), cfg_lsa)
+    B, T_in = 2, 48
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([48, 31], jnp.int32)
+    memory, _ = T.encode(params, cfg_lsa, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    rng = jax.random.PRNGKey(22)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg_lsa, memory, mask, rng, 20)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg_lsa, memory, mask, rng, 20, chunk=10, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_r[:, :n]), np.asarray(st_k[:, :n]), atol=1e-5)
+
+
+@pytest.mark.parametrize("monotonic", [True, False])
+def test_parity_lsa_synthesis_window(setup, monotonic):
+    """LSA with the synthesis constraint ('monotonic' forward window /
+    symmetric 'window' type) runs IN the kernel and matches XLA."""
+    cfg, _, _, _ = setup
+    cfg_lsa = dataclasses.replace(
+        cfg, attention_mode="lsa", synthesis_constraint=True,
+        synthesis_window=4, anti_repeat=monotonic,
+    )
+    assert DK.supported(cfg_lsa)
+    params = T.init_tacotron(jax.random.PRNGKey(23), cfg_lsa)
+    p2 = dict(params)
+    p2["stop_projection"] = dict(
+        params["stop_projection"], b=params["stop_projection"]["b"] - 8.0
+    )
+    B, T_in = 2, 40
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([40, 29], jnp.int32)
+    memory, _ = T.encode(p2, cfg_lsa, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    rng = jax.random.PRNGKey(24)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(p2, cfg_lsa, memory, mask, rng, 30)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        p2, cfg_lsa, memory, mask, rng, 30, chunk=10, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    np.testing.assert_allclose(np.asarray(fr_r), np.asarray(fr_k), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r), np.asarray(al_k), atol=1e-5)
+    # the window actually constrains: alignment support is <= window size
+    n = int(np.asarray(sl_r).min())
+    nz = (np.asarray(al_k)[:, 1:n] > 1e-6).sum(-1)
+    assert nz.max() <= 4 if monotonic else True
 
 
 def test_parity_anti_repeat(setup):
