@@ -281,6 +281,51 @@ def main() -> None:
         except Exception as e:
             print(f"# long-sentence kernel bench skipped: {e}")
 
+    # vanilla LSA attention with the synthesis window, in-kernel
+    cfg_lsa = _dc.replace(
+        cfg.tacotron, attention_mode="lsa", synthesis_constraint=True,
+        synthesis_window=3, anti_repeat=True,
+    )
+    if on_tpu and DK.supported(cfg_lsa):
+        try:
+            from tacotronv2_wavernn_chinese_tpu.models.tacotron import init_tacotron
+
+            lsa_params = init_tacotron(jax.random.PRNGKey(0), cfg_lsa)
+            lsa_params["stop_projection"] = dict(
+                lsa_params["stop_projection"],
+                b=jnp.full_like(lsa_params["stop_projection"]["b"], -20.0),
+            )
+
+            def lsa_decode(it):
+                def run(k):
+                    mem = jax.random.normal(
+                        jax.random.PRNGKey(0),
+                        (1, T_in, 2 * cfg.tacotron.encoder_lstm_units),
+                    )
+
+                    def body(i, acc):
+                        fr, st, al, sl = DK.decode_autoregressive_pallas(
+                            lsa_params, cfg_lsa, mem, jnp.ones((1, T_in)),
+                            jax.random.fold_in(k, i), it,
+                        )
+                        return acc + jnp.sum(fr)
+
+                    return jax.lax.fori_loop(0, REPS, body, 0.0)
+
+                return jax.jit(run)
+
+            dt_lo = timed(lsa_decode(it_lo), key)
+            dt_hi = timed(lsa_decode(it_hi), key)
+            per_step = max((dt_hi - dt_lo) / (REPS * (it_hi - it_lo)), 1e-9)
+            emit(
+                "tacotron_decoder_kernel_lsa_steps_per_second",
+                1.0 / per_step,
+                "steps/s",
+                batch_size=1, synthesis_window=True,
+            )
+        except Exception as e:
+            print(f"# lsa kernel bench skipped: {e}")
+
     # ---- wavernn train step ----------------------------------------------
     from tacotronv2_wavernn_chinese_tpu.train import wavernn_task as WT
 
