@@ -31,15 +31,17 @@ whole decode.  The grid iterates over frame chunks (TPU grids are
 sequential); outputs are time-major.  Early stop: when every example's stop
 sigmoid passes 0.5 the remaining steps skip compute.
 
-Scope (gated by ``supported()``): ``attention_mode`` 'forward' (the ACTIVE
-reference configuration, tacotron/models/attention.py:66-231, including the
-long-sentence anti-repeat machinery of forward_attention.py:176-215) or
-'lsa' (vanilla location-sensitive with the optional synthesis window,
-location_sensitive_attention.py:95-226); outputs_per_step r=1; no smoothing
-(gmm/graves and r>1 fall back to the XLA path).  Semantics mirror
-``models.attention._forward_step`` / ``_lsa_step`` and
-``models.tacotron.decoder_step`` exactly; parity is tested in interpret mode
-with ``dropout_rate=0``.
+Scope (gated by ``supported()``): ALL FOUR reference attention variants —
+'forward' (the ACTIVE configuration, tacotron/models/attention.py:66-231,
+including the long-sentence anti-repeat machinery of
+forward_attention.py:176-215), 'lsa' (vanilla location-sensitive with the
+optional synthesis window, location_sensitive_attention.py:95-226), 'gmm'
+(gmm_attention.py:25-67; kappa rides the muS scratch columns) and 'graves'
+(graves_attention.py:36-110; per-head mu likewise) — at outputs_per_step
+r=1, no smoothing (r>1/smoothing fall back to the XLA path).  Semantics
+mirror ``models.attention``'s step functions and
+``models.tacotron.decoder_step`` exactly; parity is tested in interpret
+mode with ``dropout_rate=0`` for every mode.
 """
 
 from __future__ import annotations
@@ -62,8 +64,11 @@ def supported(cfg: TacotronModelConfig) -> bool:
     # inside the kernel — the reference's long-sentence headline feature
     # stays on the fast path); synthesis_constraint is LSA-only and a no-op
     # under forward attention, so it doesn't gate the kernel either.
+    mode_ok = cfg.attention_mode in ("forward", "lsa") or (
+        cfg.attention_mode == "gmm" and cfg.num_attn_mixtures <= 128
+    ) or (cfg.attention_mode == "graves" and cfg.graves_heads <= 128)
     return (
-        cfg.attention_mode in ("forward", "lsa")
+        mode_ok
         and cfg.outputs_per_step == 1
         and len(cfg.prenet_layers) == 2  # pack_weights packs exactly 2 layers
         # the 64-wide conv subtiles need taps-1 + 64 <= 128 so every tap
@@ -119,7 +124,9 @@ def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
     """Split concat-matmul kernels by input segment so the kernel never
     concatenates (each segment is its own MXU matmul)."""
     pre_d = cfg.prenet_layers[-1]
-    V = params["attention"]["memory_layer"]["w"].shape[0]  # encoder output dim
+    # encoder output dim; gmm/graves attention has no memory_layer, but the
+    # frame projection input is always [u + V]
+    V = params["frame_projection"]["w"].shape[0] - cfg.decoder_lstm_units
     u = cfg.decoder_lstm_units
     M = 80
 
@@ -138,12 +145,14 @@ def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
         "l2_x": l2[:u],
         "l2_h": l2[u:],
         "l2_b": params["dec_lstm2"]["b"][None, :],
-        "att_wq": att["query_layer"]["w"],
-        "att_conv": att["location_conv"]["w"][:, 0, :],  # [31, F]
-        "att_conv_b": att["location_conv"]["b"][None, :],
-        "att_wl": att["location_layer"]["w"],
-        "att_v": att["v"][None, :],
-        "att_b": att["b"][None, :],
+        # location-sensitive machinery exists only in forward/lsa modes;
+        # minimal zero placeholders keep the static weight list uniform
+        "att_wq": att["query_layer"]["w"] if "query_layer" in att else jnp.zeros((1, 1)),
+        "att_conv": att["location_conv"]["w"][:, 0, :] if "location_conv" in att else jnp.zeros((1, 1)),
+        "att_conv_b": att["location_conv"]["b"][None, :] if "location_conv" in att else jnp.zeros((1, 1)),
+        "att_wl": att["location_layer"]["w"] if "location_layer" in att else jnp.zeros((1, 1)),
+        "att_v": att["v"][None, :] if "v" in att else jnp.zeros((1, 1)),
+        "att_b": att["b"][None, :] if "b" in att else jnp.zeros((1, 1)),
         # lsa has no transition-prob dense; zero placeholders keep the
         # weight list static (the kernel skips the mu matmuls in lsa mode)
         "mu_c": att["mu_layer"]["w"][:V] if "mu_layer" in att else jnp.zeros((V, 1)),
@@ -155,6 +164,15 @@ def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
         "sp_h": params["stop_projection"]["w"][:u],
         "sp_c": params["stop_projection"]["w"][u:],
         "sp_b": params["stop_projection"]["b"][None, :],
+        # gmm: dense over concat(query, context) -> 3K (gmm_attention.py:25-40)
+        "gmm_q": att["gmm_layer"]["w"][:u] if "gmm_layer" in att else jnp.zeros((1, 1)),
+        "gmm_c": att["gmm_layer"]["w"][u:] if "gmm_layer" in att else jnp.zeros((1, 1)),
+        "gmm_b": att["gmm_layer"]["b"][None, :] if "gmm_layer" in att else jnp.zeros((1, 1)),
+        # graves: dense(relu(dense(query))) -> (g, b, k) (graves_attention.py:36-44)
+        "gv_w1": att["layer1"]["w"] if "layer1" in att else jnp.zeros((1, 1)),
+        "gv_b1": att["layer1"]["b"][None, :] if "layer1" in att else jnp.zeros((1, 1)),
+        "gv_w2": att["layer2"]["w"] if "layer2" in att else jnp.zeros((1, 1)),
+        "gv_b2": att["layer2"]["b"][None, :] if "layer2" in att else jnp.zeros((1, 1)),
     }
     assert w["fp_b"].shape[-1] == M
     return {k: v.astype(dtype) for k, v in w.items()}
@@ -166,6 +184,7 @@ WEIGHT_ORDER = [
     "att_wq", "att_conv", "att_conv_b", "att_wl", "att_v", "att_b",
     "mu_c", "mu_q", "mu_b",
     "fp_h", "fp_c", "fp_b", "sp_h", "sp_c", "sp_b",
+    "gmm_q", "gmm_c", "gmm_b", "gv_w1", "gv_b1", "gv_w2", "gv_b2",
 ]
 
 
@@ -200,8 +219,9 @@ def _kernel(
     (
         zoneout, drop_rate, B, T_in, A, V, u, M, F, taps,
         anti_repeat, dwell_first, dwell_rest,
-        lsa, synth_constraint, synth_window, cumulative,
+        mode, synth_constraint, synth_window, cumulative, n_mix, n_heads,
     ) = cfg_static
+    lsa = mode == "lsa"
     weights = rest[: len(WEIGHT_ORDER)]
     (frames_out, stops_out, aligns_out) = rest[len(WEIGHT_ORDER) : len(WEIGHT_ORDER) + 3]
     (
@@ -218,12 +238,13 @@ def _kernel(
     def _():
         for ref in (c1S, h1S, c2S, h2S, ctxS, muS, prevS, doneS):
             ref[:] = jnp.zeros_like(ref)
-        if lsa:
-            # lsa carries plain (cumulated-if-enabled) alignments, zeros at
-            # start (attention.init_state lsa branch)
+        if mode != "forward":
+            # lsa/gmm/graves start alignments/cumulated/vector-state at
+            # zeros (attention.init_state); muS columns carry kappa (gmm)
+            # or per-head mu (graves)
             alphaS[:] = jnp.zeros_like(alphaS)
             cumS[:] = jnp.zeros_like(cumS)
-            muS[:, 0] = jnp.zeros((B,), f32)
+            muS[:] = jnp.zeros_like(muS)
         else:
             # alpha/cumulated start one-hot at position 0 (attention.py:112-117)
             col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
@@ -288,135 +309,182 @@ def _kernel(
                 g2 = mm(out1, "l2_x") + mm(h2, "l2_h") + W["l2_b"][:].astype(f32)
                 c2n, h2n, out2 = _lstm_eval(g2, c2, h2, zoneout)
 
-            # --- forward + location-sensitive attention ---
-            # Energy is produced one <=128-wide encoder tile at a time (see
-            # ``tiles`` above): location conv + location layer + tanh energy
-            # stay tile-local, so no full-width [B, T_in, *] intermediate is
-            # ever materialized and T_in may exceed one lane tile.
-            pq = mm(out2, "att_wq")  # [B, A]
-            if ablate == "noatt":
-                energy = pq[:, :1] * jnp.ones((B, T_in), f32)
-            else:
-                padl = (taps - 1) // 2
-                conv_w = W["att_conv"][:].astype(f32)  # [taps, F]
-                # The Mosaic [B,w] -> [B,w,1] expansion lowers only when the
-                # sliced lanes stay inside one (8,128) vreg (offset + width
-                # <= 128), so the encoder axis is processed in 64-wide
-                # subtiles: each subtile's padded conv window (width
-                # wdt + taps - 1 <= 128) is staged ONCE into winS at lane
-                # offset 0, and every tap then reads winS[:, j : j + wdt]
-                # (offset j <= taps-1, so the bound j + wdt <= 128 requires
-                # taps <= 65 — enforced by supported()).
-                for lo in range(0, T_in, 64):
-                    wdt = min(64, T_in - lo)
-                    # location features: SAME conv over cumulated alignments
-                    if ablate == "noconv":
-                        f_tile = jnp.zeros((B, wdt, F), f32)
-                    else:
-                        d0 = max(0, padl - lo)
-                        d1 = min(wdt + taps - 1, T_in - lo + padl)
-                        if d0 > 0:
-                            winS[:, :d0] = jnp.zeros((B, d0), f32)
-                        if d1 < wdt + taps - 1:
-                            winS[:, d1 : wdt + taps - 1] = jnp.zeros(
-                                (B, wdt + taps - 1 - d1), f32
-                            )
-                        conv_src = alpha if lsa else cum
-                        winS[:, d0:d1] = conv_src[:, lo - padl + d0 : lo - padl + d1]
-                        f_tile = jnp.zeros((B, wdt, F), f32)
-                        for j in range(taps):
-                            win = winS[:, j : j + wdt]  # [B, wdt], j + wdt <= 128
-                            f_tile = f_tile + win[..., None] * conv_w[j][None, None, :]
-                        f_tile = f_tile + W["att_conv_b"][:].astype(f32)[None]
-                    loc_t = jnp.dot(
-                        f_tile.reshape(B * wdt, F).astype(W["att_wl"].dtype),
-                        W["att_wl"][:],
-                        preferred_element_type=f32,
-                    ).reshape(B, wdt, A)
-                    e_t = jnp.tanh(
-                        keys_ref[:, lo : lo + wdt, :].astype(f32)
-                        + pq[:, None, :]
-                        + loc_t
-                        + W["att_b"][:].astype(f32)[None]
+            if mode in ("forward", "lsa"):
+                # --- forward + location-sensitive attention ---
+                # Energy is produced one <=128-wide encoder tile at a time (see
+                # ``tiles`` above): location conv + location layer + tanh energy
+                # stay tile-local, so no full-width [B, T_in, *] intermediate is
+                # ever materialized and T_in may exceed one lane tile.
+                pq = mm(out2, "att_wq")  # [B, A]
+                if ablate == "noatt":
+                    energy = pq[:, :1] * jnp.ones((B, T_in), f32)
+                else:
+                    padl = (taps - 1) // 2
+                    conv_w = W["att_conv"][:].astype(f32)  # [taps, F]
+                    # The Mosaic [B,w] -> [B,w,1] expansion lowers only when the
+                    # sliced lanes stay inside one (8,128) vreg (offset + width
+                    # <= 128), so the encoder axis is processed in 64-wide
+                    # subtiles: each subtile's padded conv window (width
+                    # wdt + taps - 1 <= 128) is staged ONCE into winS at lane
+                    # offset 0, and every tap then reads winS[:, j : j + wdt]
+                    # (offset j <= taps-1, so the bound j + wdt <= 128 requires
+                    # taps <= 65 — enforced by supported()).
+                    for lo in range(0, T_in, 64):
+                        wdt = min(64, T_in - lo)
+                        # location features: SAME conv over cumulated alignments
+                        if ablate == "noconv":
+                            f_tile = jnp.zeros((B, wdt, F), f32)
+                        else:
+                            d0 = max(0, padl - lo)
+                            d1 = min(wdt + taps - 1, T_in - lo + padl)
+                            if d0 > 0:
+                                winS[:, :d0] = jnp.zeros((B, d0), f32)
+                            if d1 < wdt + taps - 1:
+                                winS[:, d1 : wdt + taps - 1] = jnp.zeros(
+                                    (B, wdt + taps - 1 - d1), f32
+                                )
+                            conv_src = alpha if lsa else cum
+                            winS[:, d0:d1] = conv_src[:, lo - padl + d0 : lo - padl + d1]
+                            f_tile = jnp.zeros((B, wdt, F), f32)
+                            for j in range(taps):
+                                win = winS[:, j : j + wdt]  # [B, wdt], j + wdt <= 128
+                                f_tile = f_tile + win[..., None] * conv_w[j][None, None, :]
+                            f_tile = f_tile + W["att_conv_b"][:].astype(f32)[None]
+                        loc_t = jnp.dot(
+                            f_tile.reshape(B * wdt, F).astype(W["att_wl"].dtype),
+                            W["att_wl"][:],
+                            preferred_element_type=f32,
+                        ).reshape(B, wdt, A)
+                        e_t = jnp.tanh(
+                            keys_ref[:, lo : lo + wdt, :].astype(f32)
+                            + pq[:, None, :]
+                            + loc_t
+                            + W["att_b"][:].astype(f32)[None]
+                        )
+                        energyS[:, lo : lo + wdt] = jnp.sum(
+                            e_t * W["att_v"][:].astype(f32)[None], axis=-1
+                        )  # [B, wdt]
+                    energy = energyS[:]
+
+                col_ar = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
+                if lsa and synth_constraint:
+                    # synthesis window around the previous argmax
+                    # (models.attention.lsa_window_valid; reference
+                    # location_sensitive_attention.py:201-214)
+                    prev_m = maxattS[:, 0:1]
+                    if anti_repeat:  # 'monotonic': [prev, prev + w)
+                        valid = (col_ar >= prev_m) & (col_ar < prev_m + synth_window)
+                    else:  # 'window': [prev - ceil(w/2), prev + w//2)
+                        back = synth_window // 2 + (synth_window % 2)
+                        valid = (col_ar >= prev_m - back) & (
+                            col_ar < prev_m + synth_window // 2
+                        )
+                    energy = jnp.where(valid, energy, -1e9)
+                energy = jnp.where(mask > 0, energy, -1e9)
+                energy = energy - jnp.max(energy, axis=-1, keepdims=True)
+                exp_e = jnp.exp(energy)
+                align_sm = exp_e / jnp.sum(exp_e, axis=-1, keepdims=True)
+                cum_new = cum + align_sm
+
+                if lsa:
+                    # vanilla location-sensitive: softmax IS the alignment
+                    # (models.attention._lsa_step); carry cumulates if enabled
+                    align = align_sm
+                    maxv = jnp.max(align, axis=-1, keepdims=True)
+                    arg = jnp.min(
+                        jnp.where(align == maxv, col_ar, T_in), axis=-1, keepdims=True
                     )
-                    energyS[:, lo : lo + wdt] = jnp.sum(
-                        e_t * W["att_v"][:].astype(f32)[None], axis=-1
-                    )  # [B, wdt]
-                energy = energyS[:]
+                    maxattS[:, 0:1] = arg
+                    alpha_next = align + alpha if cumulative else align
+                else:
+                    # forward recursion (attention.py:156-167,218-220)
+                    # zero-fill right-shift of alpha via a padded scratch (a lane
+                    # roll would not lower past one 128-lane tile): column 0 of
+                    # shiftS stays zero from init, columns [1, T_in] hold alpha
+                    shiftS[:, 1 : 1 + T_in] = alpha
+                    shift_alpha = shiftS[:, :T_in]
+                    align = ((1.0 - mu) * alpha + mu * shift_alpha + 1e-10) * align_sm
 
-            col_ar = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
-            if lsa and synth_constraint:
-                # synthesis window around the previous argmax
-                # (models.attention.lsa_window_valid; reference
-                # location_sensitive_attention.py:201-214)
-                prev_m = maxattS[:, 0:1]
-                if anti_repeat:  # 'monotonic': [prev, prev + w)
-                    valid = (col_ar >= prev_m) & (col_ar < prev_m + synth_window)
-                else:  # 'window': [prev - ceil(w/2), prev + w//2)
-                    back = synth_window // 2 + (synth_window % 2)
-                    valid = (col_ar >= prev_m - back) & (
-                        col_ar < prev_m + synth_window // 2
-                    )
-                energy = jnp.where(valid, energy, -1e9)
-            energy = jnp.where(mask > 0, energy, -1e9)
-            energy = energy - jnp.max(energy, axis=-1, keepdims=True)
-            exp_e = jnp.exp(energy)
-            align_sm = exp_e / jnp.sum(exp_e, axis=-1, keepdims=True)
-            cum_new = cum + align_sm
+                if anti_repeat and not lsa:
+                    # in-kernel port of models.attention.anti_repeat_constrain
+                    # (reference forward_attention.py:176-215), applied between
+                    # the forward recursion and the renormalize, exactly like
+                    # the XLA path.  int32 state lives in [B, 128] VMEM scratch
+                    # (column 0).
+                    col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
+                    # first-occurrence argmax (matches jnp.argmax tie-breaking),
+                    # built from max + where/min — lowers as plain reductions
+                    maxv = jnp.max(align, axis=-1, keepdims=True)
+                    arg = jnp.min(
+                        jnp.where(align == maxv, col, T_in), axis=-1, keepdims=True
+                    )  # [B, 1] i32
+                    prev_m = maxattS[:, 0:1]
+                    prev_p = posrecS[:, 0:1]
+                    m = jnp.where(arg <= prev_m, prev_m, prev_m + 1)
+                    short = (prev_p < dwell_first) & (m > 2)
+                    m = jnp.where(short, prev_m, m)
+                    stayed = m == prev_m
+                    pos_rec = jnp.where(stayed, prev_p + 1, 1)
+                    over = pos_rec >= dwell_rest
+                    m = jnp.where(over, m + 1, m)
+                    pos_rec = jnp.where(over, 1, pos_rec)
+                    window = (col >= m - 2) & (col < m + 3)
+                    align = jnp.where(window, align, 0.0)
+                    att_sum = jnp.sum(align, axis=-1, keepdims=True)
+                    att_sum = jnp.where(att_sum < 1e-10, 1.0, att_sum)
+                    at_max = col == jnp.clip(m, 0, T_in - 1)
+                    align = jnp.where(at_max, att_sum * 2.0, align)
+                    maxattS[:, 0:1] = m
+                    posrecS[:, 0:1] = pos_rec
 
-            if lsa:
-                # vanilla location-sensitive: softmax IS the alignment
-                # (models.attention._lsa_step); carry cumulates if enabled
-                align = align_sm
-                maxv = jnp.max(align, axis=-1, keepdims=True)
-                arg = jnp.min(
-                    jnp.where(align == maxv, col_ar, T_in), axis=-1, keepdims=True
-                )
-                maxattS[:, 0:1] = arg
-                alpha_next = align + alpha if cumulative else align
+                if not lsa:
+                    align = align / jnp.sum(align, axis=-1, keepdims=True)
             else:
-                # forward recursion (attention.py:156-167,218-220)
-                # zero-fill right-shift of alpha via a padded scratch (a lane
-                # roll would not lower past one 128-lane tile): column 0 of
-                # shiftS stays zero from init, columns [1, T_in] hold alpha
-                shiftS[:, 1 : 1 + T_in] = alpha
-                shift_alpha = shiftS[:, :T_in]
-                align = ((1.0 - mu) * alpha + mu * shift_alpha + 1e-10) * align_sm
-
-            if anti_repeat and not lsa:
-                # in-kernel port of models.attention.anti_repeat_constrain
-                # (reference forward_attention.py:176-215), applied between
-                # the forward recursion and the renormalize, exactly like
-                # the XLA path.  int32 state lives in [B, 128] VMEM scratch
-                # (column 0).
-                col = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1)
-                # first-occurrence argmax (matches jnp.argmax tie-breaking),
-                # built from max + where/min — lowers as plain reductions
-                maxv = jnp.max(align, axis=-1, keepdims=True)
-                arg = jnp.min(
-                    jnp.where(align == maxv, col, T_in), axis=-1, keepdims=True
-                )  # [B, 1] i32
-                prev_m = maxattS[:, 0:1]
-                prev_p = posrecS[:, 0:1]
-                m = jnp.where(arg <= prev_m, prev_m, prev_m + 1)
-                short = (prev_p < dwell_first) & (m > 2)
-                m = jnp.where(short, prev_m, m)
-                stayed = m == prev_m
-                pos_rec = jnp.where(stayed, prev_p + 1, 1)
-                over = pos_rec >= dwell_rest
-                m = jnp.where(over, m + 1, m)
-                pos_rec = jnp.where(over, 1, pos_rec)
-                window = (col >= m - 2) & (col < m + 3)
-                align = jnp.where(window, align, 0.0)
-                att_sum = jnp.sum(align, axis=-1, keepdims=True)
-                att_sum = jnp.where(att_sum < 1e-10, 1.0, att_sum)
-                at_max = col == jnp.clip(m, 0, T_in - 1)
-                align = jnp.where(at_max, att_sum * 2.0, align)
-                maxattS[:, 0:1] = m
-                posrecS[:, 0:1] = pos_rec
-
-            if not lsa:
-                align = align / jnp.sum(align, axis=-1, keepdims=True)
+                # --- gmm / graves attention (no location energy, no keys) ---
+                # reference gmm_attention.py:25-67 / graves_attention.py:36-110;
+                # per-position work is pure elementwise over <=128-wide lane
+                # tiles; the K/H-sized vector state rides muS columns.
+                col_f = jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1).astype(f32)
+                if mode == "gmm":
+                    K = n_mix
+                    g = jnp.exp(
+                        mm(out2, "gmm_q") + mm(ctx, "gmm_c") + W["gmm_b"][:].astype(f32)
+                    )  # [B, 3K]
+                    alpha_m, beta, kappa_d = g[:, :K], g[:, K : 2 * K], g[:, 2 * K :]
+                    kappa = muS[:, :K] + kappa_d  # cumulative centers
+                    muS[:, :K] = kappa
+                    score = jnp.zeros((B, T_in), f32)
+                    for k in range(K):
+                        a_k = (alpha_m[:, k : k + 1] / beta[:, k : k + 1])
+                        score = score + a_k * jnp.exp(
+                            -((kappa[:, k : k + 1] - col_f) ** 2) / beta[:, k : k + 1]
+                        )
+                    score = jnp.where(mask > 0, score, -1e9)
+                    score = score - jnp.max(score, axis=-1, keepdims=True)
+                    e = jnp.exp(score)
+                    align = e / jnp.sum(e, axis=-1, keepdims=True)
+                else:  # graves
+                    H = n_heads
+                    hid = jnp.maximum(
+                        mm(out2, "gv_w1") + W["gv_b1"][:].astype(f32), 0.0
+                    )
+                    gbk = mm(hid, "gv_w2") + W["gv_b2"][:].astype(f32)  # [B, 3H]
+                    g_t = jax.nn.softmax(gbk[:, :H], axis=-1) + 1e-5
+                    sig_t = jax.nn.softplus(gbk[:, H : 2 * H]) + 1e-5
+                    mu_t = muS[:, :H] + jax.nn.softplus(gbk[:, 2 * H :])
+                    muS[:, :H] = mu_t
+                    align = jnp.zeros((B, T_in), f32)
+                    # align[t] = sum_h g * (F((mu-(t+1.5))/sig) - F((mu-(t+0.5))/sig)),
+                    # F(x) = 1/(1+sigmoid(x))  (CDF-difference discretization)
+                    for h in range(H):
+                        mu_h = mu_t[:, h : h + 1]
+                        sig_h = sig_t[:, h : h + 1]
+                        f1 = 1.0 / (1.0 + jax.nn.sigmoid((mu_h - (col_f + 1.5)) / sig_h))
+                        f0 = 1.0 / (1.0 + jax.nn.sigmoid((mu_h - (col_f + 0.5)) / sig_h))
+                        align = align + g_t[:, h : h + 1] * (f1 - f0)
+                    align = jnp.where(mask > 0, align, 1e-20)
+                cum_new = cum + align
+                alpha_next = align
 
             ctx_new = jnp.zeros((B, V), f32)
             for lo, wdt in tiles:
@@ -429,9 +497,7 @@ def _kernel(
                     a_t * values_ref[:, lo : lo + wdt, :].astype(f32),
                     axis=1,
                 )  # [B, V]
-            if lsa:
-                mu_new = mu  # unused in lsa mode; keep the store uniform
-            else:
+            if mode == "forward":
                 mu_new = jax.nn.sigmoid(
                     mm(ctx_new, "mu_c") + mm(out2, "mu_q") + W["mu_b"][:].astype(f32)
                 )[:, 0:1]
@@ -456,9 +522,13 @@ def _kernel(
             c2S[:] = c2n
             h2S[:] = h2n
             ctxS[:] = ctx_new
-            alphaS[:] = alpha_next if lsa else align
+            # forward carries the renormalized align; lsa carries the
+            # cumulated alignments; gmm/graves carry align (their vector
+            # state — kappa / per-head mu — was written to muS in-branch)
+            alphaS[:] = align if mode == "forward" else alpha_next
             cumS[:] = cum_new
-            muS[:, 0:1] = mu_new
+            if mode == "forward":
+                muS[:, 0:1] = mu_new
             prevS[:, :M] = frames
             newly_done = jax.nn.sigmoid(stop) > 0.5
             if ablate != "noexit":
@@ -534,7 +604,11 @@ def decode_autoregressive_pallas(
         )
     A, F, u, M = cfg.attention_dim, cfg.attention_filters, cfg.decoder_lstm_units, 80
     taps = cfg.attention_kernel
-    keys = ATT.precompute_keys(params["attention"], cfg, memory)
+    if cfg.attention_mode in ("forward", "lsa"):
+        keys = ATT.precompute_keys(params["attention"], cfg, memory)
+    else:
+        # gmm/graves use no projected keys; a minimal dummy saves VMEM
+        keys = jnp.zeros((B, T_in, 1), jnp.float32)
 
     if chunk is None:
         # double-buffered output chunks (frames + stops + aligns, f32) must
@@ -558,8 +632,9 @@ def decode_autoregressive_pallas(
     cfg_static = (
         float(cfg.zoneout_rate), float(cfg.dropout_rate), B, T_in, A, V, u, M, F, taps,
         bool(cfg.anti_repeat), int(cfg.dwell_limit_first), int(cfg.dwell_limit_rest),
-        cfg.attention_mode == "lsa", bool(cfg.synthesis_constraint),
+        cfg.attention_mode, bool(cfg.synthesis_constraint),
         int(cfg.synthesis_window), bool(cfg.cumulative_weights),
+        int(cfg.num_attn_mixtures), int(cfg.graves_heads),
     )
     # keys/values ride VMEM in bf16 by default: halves the dominant
     # per-position footprint, roughly doubling the T_in envelope; the kernel

@@ -34,11 +34,18 @@ def setup():
 
 def test_supported_gate():
     cfg = default_config().tacotron
+    # ALL FOUR reference attention variants run in the kernel
     assert DK.supported(cfg)
-    assert DK.supported(dataclasses.replace(cfg, attention_mode="lsa"))
-    assert not DK.supported(dataclasses.replace(cfg, attention_mode="gmm"))
-    assert not DK.supported(dataclasses.replace(cfg, attention_mode="graves"))
+    for mode in ("lsa", "gmm", "graves"):
+        assert DK.supported(dataclasses.replace(cfg, attention_mode=mode))
+    # genuinely unsupported: r>1, smoothing, oversized vector state
     assert not DK.supported(dataclasses.replace(cfg, outputs_per_step=2))
+    assert not DK.supported(
+        dataclasses.replace(cfg, attention_mode="gmm", num_attn_mixtures=200)
+    )
+    assert not DK.supported(
+        dataclasses.replace(cfg, attention_mode="graves", graves_heads=200)
+    )
     # the long-sentence anti-repeat machinery runs IN the kernel
     assert DK.supported(dataclasses.replace(cfg, anti_repeat=True))
     # conv subtile vreg bound: taps-1 + 64 <= 128  =>  attention_kernel <= 65
@@ -281,6 +288,32 @@ def test_parity_lsa_synthesis_window(setup, monotonic):
     n = int(np.asarray(sl_r).min())
     nz = (np.asarray(al_k)[:, 1:n] > 1e-6).sum(-1)
     assert nz.max() <= 4 if monotonic else True
+
+
+@pytest.mark.parametrize("mode", ["gmm", "graves"])
+def test_parity_gmm_graves(setup, mode):
+    """GMM (v0) and Graves attention run IN the kernel (pure per-position
+    elementwise; kappa / per-head mu ride the muS scratch columns) and match
+    the XLA decode step-for-step."""
+    cfg, _, _, _ = setup
+    cfg_m = dataclasses.replace(cfg, attention_mode=mode)
+    assert DK.supported(cfg_m)
+    params = T.init_tacotron(jax.random.PRNGKey(31), cfg_m)
+    B, T_in = 2, 40
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([40, 27], jnp.int32)
+    memory, _ = T.encode(params, cfg_m, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    rng = jax.random.PRNGKey(32)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg_m, memory, mask, rng, 16)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg_m, memory, mask, rng, 16, chunk=8, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_r[:, :n]), np.asarray(st_k[:, :n]), atol=1e-5)
 
 
 def test_parity_anti_repeat(setup):
