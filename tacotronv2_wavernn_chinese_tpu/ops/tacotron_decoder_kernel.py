@@ -74,7 +74,6 @@ def supported(cfg: TacotronModelConfig) -> bool:
         # the 64-wide conv subtiles need taps-1 + 64 <= 128 so every tap
         # read stays inside one vreg (see _kernel)
         and cfg.attention_kernel <= 65
-        and not cfg.smoothing
     )
 
 
@@ -220,6 +219,7 @@ def _kernel(
         zoneout, drop_rate, B, T_in, A, V, u, M, F, taps,
         anti_repeat, dwell_first, dwell_rest,
         mode, synth_constraint, synth_window, cumulative, n_mix, n_heads,
+        smoothing,
     ) = cfg_static
     lsa = mode == "lsa"
     weights = rest[: len(WEIGHT_ORDER)]
@@ -380,10 +380,16 @@ def _kernel(
                             col_ar < prev_m + synth_window // 2
                         )
                     energy = jnp.where(valid, energy, -1e9)
-                energy = jnp.where(mask > 0, energy, -1e9)
-                energy = energy - jnp.max(energy, axis=-1, keepdims=True)
-                exp_e = jnp.exp(energy)
-                align_sm = exp_e / jnp.sum(exp_e, axis=-1, keepdims=True)
+                if smoothing:
+                    # sigmoid-normalize instead of softmax
+                    # (attention.py _smoothing_normalization)
+                    sig = jax.nn.sigmoid(energy) * mask
+                    align_sm = sig / jnp.sum(sig, axis=-1, keepdims=True)
+                else:
+                    energy = jnp.where(mask > 0, energy, -1e9)
+                    energy = energy - jnp.max(energy, axis=-1, keepdims=True)
+                    exp_e = jnp.exp(energy)
+                    align_sm = exp_e / jnp.sum(exp_e, axis=-1, keepdims=True)
                 cum_new = cum + align_sm
 
                 if lsa:
@@ -635,6 +641,7 @@ def decode_autoregressive_pallas(
         cfg.attention_mode, bool(cfg.synthesis_constraint),
         int(cfg.synthesis_window), bool(cfg.cumulative_weights),
         int(cfg.num_attn_mixtures), int(cfg.graves_heads),
+        bool(cfg.smoothing),
     )
     # keys/values ride VMEM in bf16 by default: halves the dominant
     # per-position footprint, roughly doubling the T_in envelope; the kernel

@@ -38,7 +38,8 @@ def test_supported_gate():
     assert DK.supported(cfg)
     for mode in ("lsa", "gmm", "graves"):
         assert DK.supported(dataclasses.replace(cfg, attention_mode=mode))
-    # genuinely unsupported: r>1, smoothing, oversized vector state
+    assert DK.supported(dataclasses.replace(cfg, smoothing=True))
+    # genuinely unsupported: r>1, oversized vector state
     assert not DK.supported(dataclasses.replace(cfg, outputs_per_step=2))
     assert not DK.supported(
         dataclasses.replace(cfg, attention_mode="gmm", num_attn_mixtures=200)
@@ -314,6 +315,29 @@ def test_parity_gmm_graves(setup, mode):
     np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(st_r[:, :n]), np.asarray(st_k[:, :n]), atol=1e-5)
+
+
+def test_parity_smoothing(setup):
+    """Sigmoid-normalized attention (hparams.smoothing) in-kernel matches
+    the XLA decode."""
+    cfg, _, _, _ = setup
+    cfg_s = dataclasses.replace(cfg, smoothing=True)
+    assert DK.supported(cfg_s)
+    params = T.init_tacotron(jax.random.PRNGKey(41), cfg_s)
+    B, T_in = 2, 32
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([32, 21], jnp.int32)
+    memory, _ = T.encode(params, cfg_s, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    rng = jax.random.PRNGKey(42)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg_s, memory, mask, rng, 14)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg_s, memory, mask, rng, 14, chunk=7, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)
 
 
 def test_parity_anti_repeat(setup):
