@@ -37,8 +37,9 @@ including the long-sentence anti-repeat machinery of
 forward_attention.py:176-215), 'lsa' (vanilla location-sensitive with the
 optional synthesis window, location_sensitive_attention.py:95-226), 'gmm'
 (gmm_attention.py:25-67; kappa rides the muS scratch columns) and 'graves'
-(graves_attention.py:36-110; per-head mu likewise) — at outputs_per_step
-r=1, no smoothing (r>1/smoothing fall back to the XLA path).  Semantics
+(graves_attention.py:36-110; per-head mu likewise) — plus the smoothing
+(sigmoid-normalize) knob, at outputs_per_step r=1 (only r>1 and oversized
+gmm/graves vector state fall back to the XLA path).  Semantics
 mirror ``models.attention``'s step functions and
 ``models.tacotron.decoder_step`` exactly; parity is tested in interpret
 mode with ``dropout_rate=0`` for every mode.
@@ -613,8 +614,11 @@ def decode_autoregressive_pallas(
     if cfg.attention_mode in ("forward", "lsa"):
         keys = ATT.precompute_keys(params["attention"], cfg, memory)
     else:
-        # gmm/graves use no projected keys; a minimal dummy saves VMEM
-        keys = jnp.zeros((B, T_in, 1), jnp.float32)
+        # gmm/graves use no projected keys; keys_ref is statically dead in
+        # those branches.  The dummy must be T_in-INDEPENDENT to actually
+        # save VMEM: the trailing dim tiles to 128 lanes regardless, so a
+        # (B, T_in, 1) block would still stage B*T_in*128 lanes of zeros.
+        keys = jnp.zeros((B, 1, 1), jnp.float32)
 
     if chunk is None:
         # double-buffered output chunks (frames + stops + aligns, f32) must

@@ -9,10 +9,15 @@ on the grads), while everything else stays replicated.  This is annotation-
 driven SPMD: the train_step code is untouched; only the placement of the
 state/batch changes.
 
-Column-sharding is chosen because every sharded weight's OUTPUT axis is the
-sharded one, so forward matmuls are local and the (r, z, n) gate splits in
-layers.gru_step_from_gates fall on tile boundaries when (3H / tp) keeps H
-whole — enforced by ``tp_divisible``.
+Column-sharding is chosen because every sharded weight's OUTPUT axis is
+the sharded one, so the fc-layer forward matmuls are shard-local.  NOTE on
+the GRU kernels: the [*, 3H] gate axis shards into tp contiguous pieces,
+whose boundaries align with the (r, z, n) gate splits only when tp is a
+multiple of 3 — at other tp (e.g. the power-of-2 meshes v5e slices use)
+GSPMD inserts reshard collectives around the per-gate splits inside the
+scan.  Results are identical either way (GSPMD is semantics-preserving;
+tests assert loss parity); treat non-multiple-of-3 tp as a capability/
+memory-sharding demonstration rather than a locality optimization.
 
 Usage (see __graft_entry__.dryrun_multichip and tests):
     mesh = make_mesh_2d(devices, dp, tp)
@@ -43,8 +48,9 @@ def make_mesh_2d(devices=None, dp: int | None = None, tp: int = 2) -> Mesh:
 
 
 def tp_divisible(cfg, tp: int) -> bool:
-    """All column-sharded output axes must divide by tp WITHOUT splitting a
-    GRU gate block (wi/wh are [*, 3H]: shard each H-sized gate, so H % tp)."""
+    """All column-sharded output axes must divide evenly by tp (shape
+    requirement only; see the module note — gate-boundary ALIGNMENT
+    additionally needs tp % 3 == 0)."""
     wc = cfg.wavernn
     n_classes = 2 ** cfg.audio.bits if wc.mode == "RAW" else 30
     return (
@@ -65,17 +71,10 @@ def wavernn_state_shardings(mesh: Mesh, state) -> Any:
     """NamedSharding tree for a WaveRNNTrainState: params AND the matching
     optimizer moments shard identically; step/counters replicate."""
 
-    def spec_tree(tree):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf)), tree
-        )
-
-    import jax.tree_util as jtu
-
     # opt_state mirrors the param tree inside optax's ScaleByAdamState etc.;
     # tree_map_with_path over the WHOLE state works because the param-tree
     # key names (gru1/fc3/...) appear on the moment paths too
-    return jtu.tree_map_with_path(
+    return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf)), state
     )
 

@@ -129,6 +129,10 @@ def main() -> None:
 
     if not args.ckpt_dir and not args.params_npz:
         ap.error("one of --ckpt-dir / --params-npz is required")
+    if args.ckpt_dir and args.params_npz:
+        ap.error("--ckpt-dir and --params-npz are mutually exclusive")
+    if args.wavernn_ckpt_dir and args.wavernn_params_npz:
+        ap.error("--wavernn-ckpt-dir and --wavernn-params-npz are mutually exclusive")
     if args.params_npz:
         params = load_params_npz(args.params_npz)
     else:
