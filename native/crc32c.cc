@@ -11,14 +11,14 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <mutex>
 
 namespace {
 
 uint32_t kTab[8][256];
-bool init_done = false;
+std::once_flag init_flag;  // ctypes releases the GIL: first calls can race
 
-void init_tables() {
-  if (init_done) return;
+void build_tables() {
   const uint32_t poly = 0x82F63B78u;  // reflected Castagnoli
   for (uint32_t n = 0; n < 256; ++n) {
     uint32_t c = n;
@@ -32,14 +32,13 @@ void init_tables() {
       kTab[s][n] = c;
     }
   }
-  init_done = true;
 }
 
 }  // namespace
 
 extern "C" uint32_t crc32c_update(uint32_t crc, const uint8_t* data,
                                   size_t len) {
-  init_tables();
+  std::call_once(init_flag, build_tables);
   uint32_t c = crc ^ 0xFFFFFFFFu;
   // byte-align is unnecessary for correctness; process 8 bytes at a time
   while (len >= 8) {

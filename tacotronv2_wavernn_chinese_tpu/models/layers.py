@@ -118,21 +118,34 @@ def batchnorm_init(dim: int) -> Params:
 
 
 def batchnorm(
-    p: Params, x: jax.Array, train: bool, momentum: float = 0.99, eps: float = 1e-3
+    p: Params, x: jax.Array, train: bool, momentum: float = 0.99, eps: float = 1e-3,
+    unbiased_ema: bool = False,
 ):
     """Returns (y, updated_params).  In eval mode params pass through.
 
     ``eps=1e-3`` matches tf.layers.batch_normalization defaults.
     Reduction is over all axes but the last.
+
+    ``unbiased_ema``: torch nn.BatchNorm1d normalizes with the BIASED batch
+    variance but tracks running_var with the UNBIASED one (Bessel n/(n-1));
+    the vocoder path sets this to match torch training-time running stats.
+    TF keeps the biased variance in both places (the tacotron-side default).
     """
     if train:
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=axes)
         var = jnp.var(x, axis=axes)
+        track_var = var
+        if unbiased_ema:
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            if n > 1:
+                track_var = var * (n / (n - 1))
         new_p = dict(
             p,
             mean=momentum * p["mean"] + (1 - momentum) * mean,
-            var=momentum * p["var"] + (1 - momentum) * var,
+            var=momentum * p["var"] + (1 - momentum) * track_var,
         )
     else:
         mean, var = p["mean"], p["var"]

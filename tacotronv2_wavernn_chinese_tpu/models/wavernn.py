@@ -113,11 +113,14 @@ def melresnet(params: Params, mels: jax.Array, train: bool):
     """[B, T_mel, M] -> ([B, T_mel - 2*pad, res_out_dims], new_params).
 
     BatchNorm uses the TORCH defaults (eps 1e-5, running-stat momentum 0.1,
-    i.e. new = 0.9*old + 0.1*batch) — the vocoder side is a torch model in
-    the reference (nn.BatchNorm1d, fatchord_version.py:18-36), unlike the
-    TF acoustic side (eps 1e-3)."""
+    i.e. new = 0.9*old + 0.1*batch, running_var tracked with the UNBIASED
+    batch variance) — the vocoder side is a torch model in the reference
+    (nn.BatchNorm1d, fatchord_version.py:18-36), unlike the TF acoustic side
+    (eps 1e-3, biased var)."""
     p = params["resnet"]
-    bn = lambda pp, x: L.batchnorm(pp, x, train, momentum=0.9, eps=1e-5)
+    bn = lambda pp, x: L.batchnorm(
+        pp, x, train, momentum=0.9, eps=1e-5, unbiased_ema=True
+    )
     x = _conv1d_valid(p["conv_in"], mels)
     x, nbn_in = bn(p["bn_in"], x)
     x = jax.nn.relu(x)

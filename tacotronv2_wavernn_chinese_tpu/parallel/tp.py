@@ -69,14 +69,28 @@ def _leaf_spec(path_keys, leaf) -> P:
 
 def wavernn_state_shardings(mesh: Mesh, state) -> Any:
     """NamedSharding tree for a WaveRNNTrainState: params AND the matching
-    optimizer moments shard identically; step/counters replicate."""
+    optimizer moments shard identically; step/counters replicate.
+
+    Raises a clear ValueError when a column-sharded leaf's output axis does
+    not divide by the ``model`` axis size (otherwise the failure surfaces as
+    an opaque GSPMD/device_put error — see tp_divisible for the config-level
+    check)."""
+    tp = mesh.shape["model"]
+
+    def spec_checked(path, leaf):
+        spec = _leaf_spec(path, leaf)
+        if "model" in spec and leaf.shape[-1] % tp != 0:
+            name = "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+            raise ValueError(
+                f"TP axis size {tp} does not divide the sharded output axis "
+                f"{leaf.shape[-1]} of {name}; pick tp with tp_divisible(cfg, tp)"
+            )
+        return NamedSharding(mesh, spec)
 
     # opt_state mirrors the param tree inside optax's ScaleByAdamState etc.;
     # tree_map_with_path over the WHOLE state works because the param-tree
     # key names (gru1/fc3/...) appear on the moment paths too
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf)), state
-    )
+    return jax.tree_util.tree_map_with_path(spec_checked, state)
 
 
 def place_wavernn_state(mesh: Mesh, state):

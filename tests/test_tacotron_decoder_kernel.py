@@ -285,10 +285,12 @@ def test_parity_lsa_synthesis_window(setup, monotonic):
     np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
     np.testing.assert_allclose(np.asarray(fr_r), np.asarray(fr_k), atol=1e-5)
     np.testing.assert_allclose(np.asarray(al_r), np.asarray(al_k), atol=1e-5)
-    # the window actually constrains: alignment support is <= window size
+    # the window actually constrains: alignment support is bounded by the
+    # window geometry in BOTH modes — monotonic [prev, prev+w) has width w;
+    # symmetric [prev - (w//2 + w%2), prev + w//2) also has width w
     n = int(np.asarray(sl_r).min())
     nz = (np.asarray(al_k)[:, 1:n] > 1e-6).sum(-1)
-    assert nz.max() <= 4 if monotonic else True
+    assert nz.max() <= cfg_lsa.synthesis_window
 
 
 @pytest.mark.parametrize("mode", ["gmm", "graves"])
