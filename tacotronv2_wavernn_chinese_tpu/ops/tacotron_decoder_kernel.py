@@ -38,8 +38,10 @@ forward_attention.py:176-215), 'lsa' (vanilla location-sensitive with the
 optional synthesis window, location_sensitive_attention.py:95-226), 'gmm'
 (gmm_attention.py:25-67; kappa rides the muS scratch columns) and 'graves'
 (graves_attention.py:36-110; per-head mu likewise) — plus the smoothing
-(sigmoid-normalize) knob, at outputs_per_step r=1 (only r>1 and oversized
-gmm/graves vector state fall back to the XLA path).  Semantics
+(sigmoid-normalize) knob and outputs_per_step r in [1, 6] (the reference's
+speed knob, tacotron_hparams.py:124: [B, 80r]/[B, r] projections, last-frame
+feedback, per-step any/all stop policy; only oversized gmm/graves vector
+state falls back to the XLA path).  Semantics
 mirror ``models.attention``'s step functions and
 ``models.tacotron.decoder_step`` exactly; parity is tested in interpret
 mode with ``dropout_rate=0`` for every mode.
@@ -70,7 +72,12 @@ def supported(cfg: TacotronModelConfig) -> bool:
     ) or (cfg.attention_mode == "graves" and cfg.graves_heads <= 128)
     return (
         mode_ok
-        and cfg.outputs_per_step == 1
+        # r>1 (reference tacotron_hparams.py:124 "outputs_per_step" speed
+        # knob) runs in-kernel: the frame/stop projections widen to
+        # [u+V, 80r]/[u+V, r] and the feedback takes the LAST frame via a
+        # pre-sliced last-frame projection (bit-identical columns); r is
+        # capped only so the widened outputs stay a few lane tiles
+        and 1 <= cfg.outputs_per_step <= 6
         and len(cfg.prenet_layers) == 2  # pack_weights packs exactly 2 layers
         # the 64-wide conv subtiles need taps-1 + 64 <= 128 so every tap
         # read stays inside one vreg (see _kernel)
@@ -94,7 +101,7 @@ def supported_shape(
     if t_in > 768:
         return False
     if cfg is None:
-        V, A, u, pre, F, taps = 512, 128, 256, 256, 32, 31
+        V, A, u, pre, F, taps, r = 512, 128, 256, 256, 32, 31, 1
     else:
         V = 2 * cfg.encoder_lstm_units
         A = cfg.attention_dim
@@ -102,6 +109,7 @@ def supported_shape(
         pre = cfg.prenet_layers[-1]
         F = cfg.attention_filters
         taps = cfg.attention_kernel
+        r = cfg.outputs_per_step
     b = min(batch, 8)  # kernel-native batch; the wrapper groups larger ones
     if cfg is not None and cfg.kernel_kv_dtype != "bf16":
         dtype = jnp.float32
@@ -111,7 +119,8 @@ def supported_shape(
         + 2 * u * 4 * u  # lstm2
         + pre * pre + 80 * pre  # prenet
         + taps * F + F * A + u * A + V * A  # attention conv/layers + keys layer
-        + (u + V) * 81  # frame + stop projections
+        + (u + V) * 81 * r  # frame + stop projections ([u+V, 80r] + [u+V, r])
+        + (u + V) * 80 * (1 if r > 1 else 0)  # last-frame feedback projection
         + (V + u)  # mu layer
     )
     # keys/values in dtype; mask/alpha/cum/energy/shift f32
@@ -164,6 +173,15 @@ def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
         "sp_h": params["stop_projection"]["w"][:u],
         "sp_c": params["stop_projection"]["w"][u:],
         "sp_b": params["stop_projection"]["b"][None, :],
+        # r>1: the feedback frame is the LAST of the r projected frames
+        # (reference helpers.py:64 outputs[:, -hp.num_mels:]); slicing the
+        # [B, 80r] result at lane offset 80(r-1) may straddle a vreg
+        # boundary, so the last frame is produced by its own matmul over the
+        # SAME weight columns (bit-identical contraction).  Placeholders at
+        # r=1 keep the static weight list uniform.
+        "fpl_h": params["frame_projection"]["w"][:u, -M:] if cfg.outputs_per_step > 1 else jnp.zeros((1, 1)),
+        "fpl_c": params["frame_projection"]["w"][u:, -M:] if cfg.outputs_per_step > 1 else jnp.zeros((1, 1)),
+        "fpl_b": params["frame_projection"]["b"][None, -M:] if cfg.outputs_per_step > 1 else jnp.zeros((1, 1)),
         # gmm: dense over concat(query, context) -> 3K (gmm_attention.py:25-40)
         "gmm_q": att["gmm_layer"]["w"][:u] if "gmm_layer" in att else jnp.zeros((1, 1)),
         "gmm_c": att["gmm_layer"]["w"][u:] if "gmm_layer" in att else jnp.zeros((1, 1)),
@@ -174,7 +192,7 @@ def pack_weights(params: Params, cfg: TacotronModelConfig, dtype=jnp.bfloat16):
         "gv_w2": att["layer2"]["w"] if "layer2" in att else jnp.zeros((1, 1)),
         "gv_b2": att["layer2"]["b"][None, :] if "layer2" in att else jnp.zeros((1, 1)),
     }
-    assert w["fp_b"].shape[-1] == M
+    assert w["fp_b"].shape[-1] == M * cfg.outputs_per_step
     return {k: v.astype(dtype) for k, v in w.items()}
 
 
@@ -184,6 +202,7 @@ WEIGHT_ORDER = [
     "att_wq", "att_conv", "att_conv_b", "att_wl", "att_v", "att_b",
     "mu_c", "mu_q", "mu_b",
     "fp_h", "fp_c", "fp_b", "sp_h", "sp_c", "sp_b",
+    "fpl_h", "fpl_c", "fpl_b",
     "gmm_q", "gmm_c", "gmm_b", "gv_w1", "gv_b1", "gv_w2", "gv_b2",
 ]
 
@@ -220,7 +239,7 @@ def _kernel(
         zoneout, drop_rate, B, T_in, A, V, u, M, F, taps,
         anti_repeat, dwell_first, dwell_rest,
         mode, synth_constraint, synth_window, cumulative, n_mix, n_heads,
-        smoothing,
+        smoothing, r, stop_at_any,
     ) = cfg_static
     lsa = mode == "lsa"
     weights = rest[: len(WEIGHT_ORDER)]
@@ -509,8 +528,8 @@ def _kernel(
                     mm(ctx_new, "mu_c") + mm(out2, "mu_q") + W["mu_b"][:].astype(f32)
                 )[:, 0:1]
 
-            frames = mm(out2, "fp_h") + mm(ctx_new, "fp_c") + W["fp_b"][:].astype(f32)  # [B, M]
-            stop = (mm(out2, "sp_h") + mm(ctx_new, "sp_c") + W["sp_b"][:].astype(f32))[:, 0]  # [B]
+            frames = mm(out2, "fp_h") + mm(ctx_new, "fp_c") + W["fp_b"][:].astype(f32)  # [B, M*r]
+            stop = mm(out2, "sp_h") + mm(ctx_new, "sp_c") + W["sp_b"][:].astype(f32)  # [B, r]
 
             # finished examples keep advancing with real outputs/state until
             # the WHOLE batch stops — exactly the XLA while_loop and the
@@ -521,7 +540,10 @@ def _kernel(
             # kernel and XLA paths when batch examples stop at different
             # steps.)
             frames_out[s, :, :] = frames
-            stops_out[s, :] = stop
+            if r == 1:
+                stops_out[s, :] = stop[:, 0]
+            else:
+                stops_out[s, :, :] = stop
             aligns_out[s, :, :] = align
 
             c1S[:] = c1n
@@ -536,8 +558,20 @@ def _kernel(
             cumS[:] = cum_new
             if mode == "forward":
                 muS[:, 0:1] = mu_new
-            prevS[:, :M] = frames
-            newly_done = jax.nn.sigmoid(stop) > 0.5
+            if r == 1:
+                prevS[:, :M] = frames
+            else:
+                # last frame via its own matmul over the projection's last-M
+                # columns (see pack_weights fpl_*) — bit-identical to
+                # frames[:, -M:] without the unaligned lane slice
+                prevS[:, :M] = (
+                    mm(out2, "fpl_h") + mm(ctx_new, "fpl_c") + W["fpl_b"][:].astype(f32)
+                )
+            fin = jax.nn.sigmoid(stop) > 0.5  # [B, r]
+            if stop_at_any:
+                newly_done = jnp.max(fin.astype(f32), axis=-1) > 0.5
+            else:
+                newly_done = jnp.min(fin.astype(f32), axis=-1) > 0.5
             if ablate != "noexit":
                 doneS[:, 0] = jnp.maximum(doneS[:, 0], newly_done.astype(f32))
 
@@ -548,8 +582,11 @@ def _kernel(
 
             @pl.when(all_done)
             def _():
-                frames_out[s, :, :] = jnp.zeros((B, M), f32)
-                stops_out[s, :] = jnp.full((B,), 1e4, f32)
+                frames_out[s, :, :] = jnp.zeros((B, M * r), f32)
+                if r == 1:
+                    stops_out[s, :] = jnp.full((B,), 1e4, f32)
+                else:
+                    stops_out[s, :, :] = jnp.full((B, r), 1e4, f32)
                 aligns_out[s, :, :] = jnp.zeros((B, T_in), f32)
 
         return 0
@@ -611,6 +648,7 @@ def decode_autoregressive_pallas(
         )
     A, F, u, M = cfg.attention_dim, cfg.attention_filters, cfg.decoder_lstm_units, 80
     taps = cfg.attention_kernel
+    r = cfg.outputs_per_step
     if cfg.attention_mode in ("forward", "lsa"):
         keys = ATT.precompute_keys(params["attention"], cfg, memory)
     else:
@@ -626,7 +664,7 @@ def decode_autoregressive_pallas(
         # budget the chunk so larger B*T_in shrink it
         kv_bytes = 2 if dtype == jnp.bfloat16 else 4
         fixed = 4_500_000 + B * T_in * (V + A) * kv_bytes
-        per_step = 2 * B * (M + 1 + T_in) * 4  # x2 output double buffering
+        per_step = 2 * B * ((M + 1) * r + T_in) * 4  # x2 output double buffering
         budget = max(int((13_000_000 - fixed) / max(per_step, 1)), 8)
         chunk = max(8, min(48, (budget // 8) * 8))
 
@@ -645,7 +683,7 @@ def decode_autoregressive_pallas(
         cfg.attention_mode, bool(cfg.synthesis_constraint),
         int(cfg.synthesis_window), bool(cfg.cumulative_weights),
         int(cfg.num_attn_mixtures), int(cfg.graves_heads),
-        bool(cfg.smoothing),
+        bool(cfg.smoothing), r, bool(cfg.stop_at_any),
     )
     # keys/values ride VMEM in bf16 by default: halves the dominant
     # per-position footprint, roughly doubling the T_in envelope; the kernel
@@ -666,8 +704,12 @@ def decode_autoregressive_pallas(
             *[full(w[k]) for k in WEIGHT_ORDER],
         ],
         out_specs=[
-            pl.BlockSpec((chunk, B, M), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, B), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, M * r), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            (
+                pl.BlockSpec((chunk, B), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
+                if r == 1
+                else pl.BlockSpec((chunk, B, r), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
+            ),
             pl.BlockSpec((chunk, B, T_in), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -692,21 +734,37 @@ def decode_autoregressive_pallas(
         functools.partial(_kernel, chunk=chunk, cfg_static=cfg_static, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T_pad, B, M), jnp.float32),
-            jax.ShapeDtypeStruct((T_pad, B), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B, M * r), jnp.float32),
+            jax.ShapeDtypeStruct((T_pad, B) if r == 1 else (T_pad, B, r), jnp.float32),
             jax.ShapeDtypeStruct((T_pad, B, T_in), jnp.float32),
         ],
         interpret=interpret,
     )(seed, keys, memory_kv, mem_mask, *[w[k] for k in WEIGHT_ORDER])
 
-    frames = jnp.swapaxes(frames[:max_iters], 0, 1)  # [B, T, M]
-    stops = jnp.swapaxes(stops[:max_iters], 0, 1)  # [B, T]
+    frames = jnp.swapaxes(frames[:max_iters], 0, 1)  # [B, T, M*r]
+    stops = jnp.swapaxes(stops[:max_iters], 0, 1)  # [B, T] or [B, T, r]
     aligns = jnp.swapaxes(aligns[:max_iters], 0, 1)  # [B, T, T_in]
 
-    finished = jax.nn.sigmoid(stops) > 0.5
-    # first True index (or max_iters), EXCLUSIVE of the flagged frame — same
-    # rule as decode_autoregressive (reference tacotron_synthesize.py:105)
-    idx = jnp.argmax(finished, axis=-1)
-    any_f = jnp.any(finished, axis=-1)
-    stop_len = jnp.where(any_f, idx, max_iters).astype(jnp.int32)
+    if r == 1:
+        finished = jax.nn.sigmoid(stops) > 0.5
+        # first True index (or max_iters), EXCLUSIVE of the flagged frame —
+        # same rule as decode_autoregressive (reference
+        # tacotron_synthesize.py:105)
+        idx = jnp.argmax(finished, axis=-1)
+        any_f = jnp.any(finished, axis=-1)
+        stop_len = jnp.where(any_f, idx, max_iters).astype(jnp.int32)
+        return frames, stops, aligns, stop_len
+
+    # r>1: per-STEP done policy over the r frames (reference stop_at_any,
+    # helpers.py:58-61), frame-exact trim length inside the flagged step —
+    # exactly decode_autoregressive's rule
+    fin_frames = jax.nn.sigmoid(stops) > 0.5  # [B, T, r]
+    ex_done = jnp.any(fin_frames, -1) if cfg.stop_at_any else jnp.all(fin_frames, -1)
+    idx = jnp.argmax(ex_done, axis=-1)  # first flagged step
+    any_f = jnp.any(ex_done, axis=-1)
+    step_fin = jnp.take_along_axis(fin_frames, idx[:, None, None], axis=1)[:, 0]  # [B, r]
+    first_in_group = jnp.argmax(step_fin, axis=-1)
+    stop_len = jnp.where(any_f, idx * r + first_in_group, max_iters * r).astype(jnp.int32)
+    frames = frames.reshape(B, max_iters * r, M)
+    stops = stops.reshape(B, max_iters * r)
     return frames, stops, aligns, stop_len

@@ -39,8 +39,11 @@ def test_supported_gate():
     for mode in ("lsa", "gmm", "graves"):
         assert DK.supported(dataclasses.replace(cfg, attention_mode=mode))
     assert DK.supported(dataclasses.replace(cfg, smoothing=True))
-    # genuinely unsupported: r>1, oversized vector state
-    assert not DK.supported(dataclasses.replace(cfg, outputs_per_step=2))
+    # r>1 (the reference's outputs_per_step speed knob) runs in-kernel
+    assert DK.supported(dataclasses.replace(cfg, outputs_per_step=2))
+    assert DK.supported(dataclasses.replace(cfg, outputs_per_step=3))
+    assert not DK.supported(dataclasses.replace(cfg, outputs_per_step=7))
+    # genuinely unsupported: oversized vector state
     assert not DK.supported(
         dataclasses.replace(cfg, attention_mode="gmm", num_attn_mixtures=200)
     )
@@ -388,3 +391,60 @@ def test_parity_t_in_512(setup):
     n = int(np.asarray(sl_r).min())
     np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(al_r[:, :n]), np.asarray(al_k[:, :n]), atol=1e-5)
+
+
+@pytest.mark.parametrize("r", [2, 3])
+def test_parity_outputs_per_step(setup, r):
+    """r>1 (reference outputs_per_step, tacotron_hparams.py:124) runs
+    in-kernel: [B, 80r]/[B, r] projections, last-frame feedback via the
+    pre-sliced fpl_* columns, per-step any-frame stop policy — and matches
+    the XLA while_loop decode frame-for-frame."""
+    cfg, _, _, _ = setup
+    cfg_r = dataclasses.replace(cfg, outputs_per_step=r)
+    assert DK.supported(cfg_r)
+    params = T.init_tacotron(jax.random.PRNGKey(51 + r), cfg_r)
+    B, T_in = 2, 24
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([24, 17], jnp.int32)
+    memory, _ = T.encode(params, cfg_r, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    rng = jax.random.PRNGKey(52)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg_r, memory, mask, rng, 12)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg_r, memory, mask, rng, 12, chunk=6, interpret=True, dtype=jnp.float32
+    )
+    assert fr_k.shape == (B, 12 * r, 80) and st_k.shape == (B, 12 * r)
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_r[:, :n]), np.asarray(st_k[:, :n]), atol=1e-5)
+    n_steps = max(n // r, 1)
+    np.testing.assert_allclose(
+        np.asarray(al_r[:, :n_steps]), np.asarray(al_k[:, :n_steps]), atol=1e-5
+    )
+
+
+def test_parity_outputs_per_step_stop_all(setup):
+    """The stop_at_any=False (ALL frames past 0.5) policy also matches."""
+    cfg, _, _, _ = setup
+    cfg_r = dataclasses.replace(cfg, outputs_per_step=2, stop_at_any=False)
+    assert DK.supported(cfg_r)
+    params = T.init_tacotron(jax.random.PRNGKey(61), cfg_r)
+    # bias the stop projection so some steps fire one-frame-only (policy
+    # actually discriminates)
+    params["stop_projection"] = dict(
+        params["stop_projection"], b=params["stop_projection"]["b"] - 2.0
+    )
+    B, T_in = 2, 16
+    inputs = jnp.arange(B * T_in).reshape(B, T_in) % 50
+    lens = jnp.asarray([16, 11], jnp.int32)
+    memory, _ = T.encode(params, cfg_r, inputs, lens, False, jax.random.PRNGKey(1))
+    mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+    rng = jax.random.PRNGKey(62)
+    fr_r, st_r, al_r, sl_r = T.decode_autoregressive(params, cfg_r, memory, mask, rng, 10)
+    fr_k, st_k, al_k, sl_k = DK.decode_autoregressive_pallas(
+        params, cfg_r, memory, mask, rng, 10, chunk=5, interpret=True, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(sl_r), np.asarray(sl_k))
+    n = int(np.asarray(sl_r).min())
+    np.testing.assert_allclose(np.asarray(fr_r[:, :n]), np.asarray(fr_k[:, :n]), atol=1e-5)
