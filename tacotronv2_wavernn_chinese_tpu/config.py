@@ -157,6 +157,11 @@ class TacotronTrainConfig:
     # train_step_many): amortizes host dispatch latency; checkpoints/summaries
     # land on the first boundary after a fused group (exact at 1)
     steps_per_dispatch: int = 1
+    # lax.scan unroll factor for the teacher-forced decoder scan: >1 trades
+    # compile time/code size for fewer per-iteration loop overheads on the
+    # recurrence-bound step (measured on v5e B=32: 72.1 -> 58.6 ms/step at
+    # unroll=2, 58.1 at 4; numerically identical outputs)
+    scan_unroll: int = 2
     fine_tune: bool = False  # freeze embedding+encoder (reference tacotron.py:167-169)
     checkpoint_interval: int = 500
     summary_interval: int = 1000

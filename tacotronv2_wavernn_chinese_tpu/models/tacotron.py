@@ -213,6 +213,7 @@ def decoder_step(
     train: bool,
     rand: StepRand,
     pre: jax.Array | None = None,
+    project: bool = True,
 ):
     """One decoder step (reference Architecture_wrappers.py:175-218):
     prenet -> concat(context) -> 2x ZoneoutLSTM -> attention -> projections.
@@ -222,7 +223,11 @@ def decoder_step(
     (optional) is the step's prenet output computed OUTSIDE the loop: under
     full teacher forcing the prenet inputs are the ground-truth frames, so
     decode_teacher_forced batches the whole prenet into one [T*B] matmul
-    (bit-identical: same contraction, row-wise)."""
+    (bit-identical: same contraction, row-wise).  ``project=False`` skips
+    the frame/stop projections and returns ``(out2, context, align, carry)``
+    instead — under full teacher forcing the projections never feed the
+    recurrence, so decode_teacher_forced batches them into one post-scan
+    matmul (bit-identical, same argument as ``pre``)."""
     pre = (
         L.prenet(params["prenet"], prev_frame, None, cfg.dropout_rate, masks=rand.pre)
         if pre is None
@@ -242,6 +247,8 @@ def decoder_step(
         params["attention"], cfg, out2, carry.att, keys, values, mem_mask, train,
         drop_mask=rand.att,
     )
+    if not project:
+        return out2, context, align, DecoderCarry(c1, h1, c2, h2, att_state)
     proj_in = jnp.concatenate([out2, context], axis=-1)
     # frame + stop projections share proj_in, so run them as ONE dense over
     # the concatenated output columns (bitwise identical: same contraction,
@@ -269,6 +276,7 @@ def decode_teacher_forced(
     train: bool,
     rng: jax.Array,
     teacher_forcing_ratio: jax.Array | float = 1.0,
+    unroll: int = 1,
 ):
     """Teacher-forced decode (reference helpers.py:136-142: with ratio 1.0
     the next input is unconditionally the ground-truth frame, which is what
@@ -276,8 +284,9 @@ def decode_teacher_forced(
     scheduled sampling: per step/example, feed the ground truth with
     probability ratio, else the model's own previous frame (the reference
     implements this at helpers.py:125-134 but comments it out at :136-142;
-    here it is a real knob).  Returns (frames [B,T_out,M], stops [B,T_out],
-    alignments [B,T_dec,T_in])."""
+    here it is a real knob).  ``unroll`` feeds ``lax.scan`` (bit-identical;
+    cfg.tacotron_train.scan_unroll).  Returns (frames [B,T_out,M],
+    stops [B,T_out], alignments [B,T_dec,T_in])."""
     B, T_out, M = mel_targets.shape
     r = cfg.outputs_per_step
     T_dec = T_out // r
@@ -324,26 +333,51 @@ def decode_teacher_forced(
         )
         rands = rands._replace(pre=None)  # consumed above; drop from the scan xs
 
-    def body(carry, inp):
-        dec_carry, prev_pred = carry
-        gt_frame, rand, use_gt, pre = inp
-        if always_gt:
-            prev_frame = gt_frame
-        else:
-            prev_frame = jnp.where(use_gt, gt_frame, prev_pred)
-        frames, stop, align, dec_carry = decoder_step(
-            params, cfg, prev_frame, dec_carry, keys, memory, mem_mask, train, rand,
-            pre=pre,
-        )
-        return (dec_carry, frames[:, -M:]), (frames, stop, align)
+    if always_gt:
+        # The frame/stop projections never feed the recurrence under full
+        # teacher forcing, so the scan emits (out2, context) and ONE batched
+        # [T*B, u+V] matmul projects after the scan — the same row-wise
+        # contraction (equal to matmul-reassociation rounding) and two fewer
+        # matmuls on the serial chain.
+        def body_gt(dec_carry, inp):
+            gt_frame, rand, pre = inp
+            out2, context, align, dec_carry = decoder_step(
+                params, cfg, gt_frame, dec_carry, keys, memory, mem_mask,
+                train, rand, pre=pre, project=False,
+            )
+            return dec_carry, (out2, context, align)
 
-    carry0 = (
-        init_decoder_carry(cfg, B, memory.shape[1], memory.shape[2]),
-        jnp.zeros((B, M), mel_targets.dtype),
-    )
-    _, (frames, stops, aligns) = jax.lax.scan(
-        body, carry0, (dec_inputs_t, rands, use_gts, pre_all)
-    )
+        carry0 = init_decoder_carry(cfg, B, memory.shape[1], memory.shape[2])
+        _, (out2_seq, ctx_seq, aligns) = jax.lax.scan(
+            body_gt, carry0, (dec_inputs_t, rands, pre_all), unroll=unroll
+        )
+        proj_in = jnp.concatenate([out2_seq, ctx_seq], axis=-1)  # [T, B, u+V]
+        w = jnp.concatenate(
+            [params["frame_projection"]["w"], params["stop_projection"]["w"]], axis=1
+        )
+        b = jnp.concatenate([params["frame_projection"]["b"], params["stop_projection"]["b"]])
+        out = proj_in @ w + b
+        n_frame = params["frame_projection"]["w"].shape[1]
+        frames, stops = out[..., :n_frame], out[..., n_frame:]
+    else:
+
+        def body(carry, inp):
+            dec_carry, prev_pred = carry
+            gt_frame, rand, use_gt, pre = inp
+            prev_frame = jnp.where(use_gt, gt_frame, prev_pred)
+            frames, stop, align, dec_carry = decoder_step(
+                params, cfg, prev_frame, dec_carry, keys, memory, mem_mask, train, rand,
+                pre=pre,
+            )
+            return (dec_carry, frames[:, -M:]), (frames, stop, align)
+
+        carry0 = (
+            init_decoder_carry(cfg, B, memory.shape[1], memory.shape[2]),
+            jnp.zeros((B, M), mel_targets.dtype),
+        )
+        _, (frames, stops, aligns) = jax.lax.scan(
+            body, carry0, (dec_inputs_t, rands, use_gts, pre_all), unroll=unroll
+        )
     frames = jnp.swapaxes(frames, 0, 1).reshape(B, T_out, M)
     stops = jnp.swapaxes(stops, 0, 1).reshape(B, T_out)
     aligns = jnp.swapaxes(aligns, 0, 1)  # [B, T_dec, T_in]
@@ -491,6 +525,7 @@ def forward_teacher_forced(
     train: bool,
     rng: jax.Array,
     teacher_forcing_ratio: jax.Array | float = 1.0,
+    unroll: int = 1,
 ):
     """Full teacher-forced forward; returns (TacotronOutput, new_params)."""
     k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
@@ -498,7 +533,7 @@ def forward_teacher_forced(
     mem_mask = (jnp.arange(inputs.shape[1])[None, :] < input_lengths[:, None]).astype(jnp.float32)
     frames, stops, aligns = decode_teacher_forced(
         params, cfg, memory, mem_mask, mel_targets, train, k_dec,
-        teacher_forcing_ratio=teacher_forcing_ratio,
+        teacher_forcing_ratio=teacher_forcing_ratio, unroll=unroll,
     )
     frames = _clip_mel(frames, cfg)
     mel_out, new_postnet = apply_postnet(params, cfg, frames, train, k_post)

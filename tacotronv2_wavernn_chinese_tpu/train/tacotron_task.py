@@ -47,10 +47,10 @@ def teacher_forcing_schedule(cfg: Config, step):
     tc = cfg.tacotron_train
     if tc.teacher_forcing_mode == "constant":
         # return the bare float: decode_teacher_forced's static always_gt
-        # fast path (pre-scan batched prenet, no per-step uniform draw)
-        # keys off a PYTHON number >= 1.0 — a traced array would disable it
-        # for every real training step (bit-identity between the two paths
-        # is pinned by test_teacher_forcing_static_ratio_matches_traced)
+        # fast path (pre/post-scan batched prenet + projections, no per-step
+        # uniform draw) keys off a PYTHON number >= 1.0 — a traced array
+        # would disable it for every real training step (path equivalence is
+        # pinned by test_teacher_forcing_static_ratio_matches_traced)
         return float(tc.teacher_forcing_ratio)
     # one decay floor, reference-style: alpha = final/init when final_ratio
     # is set, else the explicit cosine-decay alpha
@@ -154,6 +154,7 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
         train,
         rng,
         teacher_forcing_ratio=teacher_forcing_ratio,
+        unroll=cfg.tacotron_train.scan_unroll,
     )
     tc = cfg.tacotron_train
     if tc.mixed_precision:

@@ -147,6 +147,33 @@ def main() -> None:
          frames=T_out, speedup_vs_f32=round(dt / dt_mp, 3),
          **mfu_extra(taco_flops_mp, dt_mp))
 
+    # large-batch throughput rows: batch is the free utilization lever for a
+    # recurrence-bound step (the reference's batch 32 is a 2019-GPU
+    # artifact, tacotron_hparams.py:191); B=128 is the measured v5e
+    # sweet spot (B=256 regresses: 943 ex/s vs 1176)
+    if not args.quick:
+        for B_big in (64, 128):
+            big = {
+                "inputs": jnp.ones((B_big, T_in), jnp.int32),
+                "input_lengths": jnp.full((B_big,), T_in, jnp.int32),
+                "mel_targets": jnp.zeros((B_big, T_out, 80), jnp.float32),
+                "stop_targets": jnp.ones((B_big, T_out), jnp.float32),
+                "target_lengths": jnp.full((B_big,), T_out, jnp.int32),
+            }
+            cfg_big = cfg.override("tacotron_train.scan_unroll=4")
+            big_box = [TT.init_state(jax.random.PRNGKey(0), cfg_big)]
+
+            def train_big(k):
+                s2, metrics = TT.train_step(big_box[0], big, k, cfg_big)
+                big_box[0] = s2
+                return metrics["loss"]
+
+            dt_b = timed(train_big, key)
+            fl_b = xla_flops(TT.train_step, big_box[0], big, key, cfg_big)
+            emit("tacotron_train_step_seconds", dt_b, "s/step", batch_size=B_big,
+                 frames=T_out, examples_per_s=round(B_big / dt_b, 1),
+                 scan_unroll=4, **mfu_extra(fl_b, dt_b))
+
     # fused K-step dispatch (train_step_many): amortizes the per-dispatch
     # host RTT; the effective per-step time is dispatch/K
     K = 4 if args.quick else 8
@@ -168,7 +195,35 @@ def main() -> None:
         batch_size=B,
         frames=T_out,
         steps_per_dispatch=K,
+        examples_per_s=round(B * K / dt_k, 1),
     )
+
+    # the documented max-throughput training config: B=128, scan_unroll=4,
+    # fused K=4 (measured 1450 ex/s on v5e — 2.3x round 2's best row)
+    if not args.quick:
+        cfg_max = cfg.override("tacotron_train.scan_unroll=4")
+        B_max, K_max = 128, 4
+        big = {
+            "inputs": jnp.ones((B_max, T_in), jnp.int32),
+            "input_lengths": jnp.full((B_max,), T_in, jnp.int32),
+            "mel_targets": jnp.zeros((B_max, T_out, 80), jnp.float32),
+            "stop_targets": jnp.ones((B_max, T_out), jnp.float32),
+            "target_lengths": jnp.full((B_max,), T_out, jnp.int32),
+        }
+        bigs = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (K_max,) + x.shape), big
+        )
+        max_box = [TT.init_state(jax.random.PRNGKey(0), cfg_max)]
+
+        def train_max(k):
+            s2, metrics = TT.train_step_many(max_box[0], bigs, k, cfg_max)
+            max_box[0] = s2
+            return metrics["loss"]
+
+        dt_m = timed(train_max, key)
+        emit("tacotron_train_max_throughput_examples_per_s", B_max * K_max / dt_m,
+             "examples/s", batch_size=B_max, steps_per_dispatch=K_max,
+             scan_unroll=4, s_per_step=round(dt_m / K_max, 4))
 
     # ---- tacotron AR decode ----------------------------------------------
     # Marginal-rate methodology: (a) random-init params fire the stop token
@@ -350,6 +405,28 @@ def main() -> None:
     emit("wavernn_train_step_seconds", dt, "s/step", batch_size=Bw,
          seq_len=sf * hop, **mfu_extra(voc_flops, dt))
 
+    # large-batch rows (B=256 OOMs: the fwd+bwd scan saves ~7 GB of
+    # activations at seq 1375; B=128 is the practical ceiling)
+    if not args.quick:
+        for B_big in (64, 128):
+            wbig = {
+                "x": jnp.zeros((B_big, sf * hop), jnp.float32),
+                "y": jnp.zeros((B_big, sf * hop), jnp.int32),
+                "mels": jnp.zeros((B_big, sf + 2 * cfg.wavernn.pad, 80), jnp.float32),
+            }
+            wbig_box = [WT.init_state(jax.random.PRNGKey(0), cfg)]
+
+            def wtrain_big(k):
+                s2, metrics = WT.train_step(wbig_box[0], wbig, cfg)
+                wbig_box[0] = s2
+                return metrics["loss"]
+
+            dt_b = timed(wtrain_big, key)
+            fl_b = xla_flops(WT.train_step, wbig_box[0], wbig, cfg)
+            emit("wavernn_train_step_seconds", dt_b, "s/step", batch_size=B_big,
+                 seq_len=sf * hop, examples_per_s=round(B_big / dt_b, 1),
+                 **mfu_extra(fl_b, dt_b))
+
     wmp_box = [WT.init_state(jax.random.PRNGKey(0), cfg_mp)]
 
     def wtrain_mp(k):
@@ -381,7 +458,31 @@ def main() -> None:
         batch_size=Bw,
         seq_len=sf * hop,
         steps_per_dispatch=K,
+        examples_per_s=round(Bw * K / dt_k, 1),
     )
+
+    # wavernn max-throughput config: B=128 fused K=4 (1070 ex/s measured)
+    if not args.quick:
+        B_max, K_max = 128, 4
+        wbig = {
+            "x": jnp.zeros((B_max, sf * hop), jnp.float32),
+            "y": jnp.zeros((B_max, sf * hop), jnp.int32),
+            "mels": jnp.zeros((B_max, sf + 2 * cfg.wavernn.pad, 80), jnp.float32),
+        }
+        wbigs = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (K_max,) + x.shape), wbig
+        )
+        wmax_box = [WT.init_state(jax.random.PRNGKey(0), cfg)]
+
+        def wtrain_max(k):
+            s2, metrics = WT.train_step_many(wmax_box[0], wbigs, cfg)
+            wmax_box[0] = s2
+            return metrics["loss"]
+
+        dt_m = timed(wtrain_max, key)
+        emit("wavernn_train_max_throughput_examples_per_s", B_max * K_max / dt_m,
+             "examples/s", batch_size=B_max, steps_per_dispatch=K_max,
+             s_per_step=round(dt_m / K_max, 4))
 
     # ---- wavernn generation ----------------------------------------------
     T_mel = 500 if args.quick else 3000
