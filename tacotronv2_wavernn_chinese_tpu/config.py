@@ -162,6 +162,14 @@ class TacotronTrainConfig:
     # recurrence-bound step (measured on v5e B=32: 72.1 -> 58.6 ms/step at
     # unroll=2, 58.1 at 4; numerically identical outputs)
     scan_unroll: int = 2
+    # fused Pallas training decoder (ops/tacotron_trainer_kernel.py — custom
+    # VJP over the teacher-forced scan): "auto" uses it on TPU whenever the
+    # config/shape qualify (forward attention, ratio 1.0, T_in <= 256);
+    # "on" forces it (interpret-mode on CPU is test-only); "off" disables.
+    # Default OFF: measured v5e B=32 73.5 ms/step vs 55.6 for the XLA scan —
+    # the sequential 8-row Mosaic groups currently cost more than the
+    # per-step fusion saves (see ops/tacotron_trainer_kernel.py docstring).
+    fused_decoder: str = "off"
     fine_tune: bool = False  # freeze embedding+encoder (reference tacotron.py:167-169)
     checkpoint_interval: int = 500
     summary_interval: int = 1000

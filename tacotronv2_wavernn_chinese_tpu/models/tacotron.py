@@ -277,6 +277,9 @@ def decode_teacher_forced(
     rng: jax.Array,
     teacher_forcing_ratio: jax.Array | float = 1.0,
     unroll: int = 1,
+    fused_core: bool = False,
+    fused_interpret: bool = False,
+    fused_dtype=None,
 ):
     """Teacher-forced decode (reference helpers.py:136-142: with ratio 1.0
     the next input is unconditionally the ground-truth frame, which is what
@@ -339,18 +342,36 @@ def decode_teacher_forced(
         # [T*B, u+V] matmul projects after the scan — the same row-wise
         # contraction (equal to matmul-reassociation rounding) and two fewer
         # matmuls on the serial chain.
-        def body_gt(dec_carry, inp):
-            gt_frame, rand, pre = inp
-            out2, context, align, dec_carry = decoder_step(
-                params, cfg, gt_frame, dec_carry, keys, memory, mem_mask,
-                train, rand, pre=pre, project=False,
-            )
-            return dec_carry, (out2, context, align)
+        if fused_core:
+            # fused Pallas training decoder (ops/tacotron_trainer_kernel.py):
+            # same semantics, same zoneout mask stream, custom VJP
+            from ..ops import tacotron_trainer_kernel as TK
 
-        carry0 = init_decoder_carry(cfg, B, memory.shape[1], memory.shape[2])
-        _, (out2_seq, ctx_seq, aligns) = jax.lax.scan(
-            body_gt, carry0, (dec_inputs_t, rands, pre_all), unroll=unroll
-        )
+            masks = None
+            if train and cfg.zoneout_rate > 0.0:
+                masks = tuple(
+                    m.astype(jnp.float32)
+                    for m in (rands.z1[0], rands.z1[1], rands.z2[0], rands.z2[1])
+                )
+            out2_seq, ctx_seq, aligns = TK.fused_core_apply(
+                params, cfg, pre_all, masks, keys, memory, mem_mask,
+                interpret=fused_interpret,
+                dtype=fused_dtype if fused_dtype is not None else jnp.bfloat16,
+            )
+        else:
+
+            def body_gt(dec_carry, inp):
+                gt_frame, rand, pre = inp
+                out2, context, align, dec_carry = decoder_step(
+                    params, cfg, gt_frame, dec_carry, keys, memory, mem_mask,
+                    train, rand, pre=pre, project=False,
+                )
+                return dec_carry, (out2, context, align)
+
+            carry0 = init_decoder_carry(cfg, B, memory.shape[1], memory.shape[2])
+            _, (out2_seq, ctx_seq, aligns) = jax.lax.scan(
+                body_gt, carry0, (dec_inputs_t, rands, pre_all), unroll=unroll
+            )
         proj_in = jnp.concatenate([out2_seq, ctx_seq], axis=-1)  # [T, B, u+V]
         w = jnp.concatenate(
             [params["frame_projection"]["w"], params["stop_projection"]["w"]], axis=1
@@ -526,6 +547,9 @@ def forward_teacher_forced(
     rng: jax.Array,
     teacher_forcing_ratio: jax.Array | float = 1.0,
     unroll: int = 1,
+    fused_core: bool = False,
+    fused_interpret: bool = False,
+    fused_dtype=None,
 ):
     """Full teacher-forced forward; returns (TacotronOutput, new_params)."""
     k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
@@ -534,6 +558,8 @@ def forward_teacher_forced(
     frames, stops, aligns = decode_teacher_forced(
         params, cfg, memory, mem_mask, mel_targets, train, k_dec,
         teacher_forcing_ratio=teacher_forcing_ratio, unroll=unroll,
+        fused_core=fused_core, fused_interpret=fused_interpret,
+        fused_dtype=fused_dtype,
     )
     frames = _clip_mel(frames, cfg)
     mel_out, new_postnet = apply_postnet(params, cfg, frames, train, k_post)

@@ -139,12 +139,41 @@ def init_state(key, cfg: Config) -> TrainState:
     return TrainState(jnp.zeros((), jnp.int32), params, opt.init(params))
 
 
+def _use_fused_decoder(cfg: Config, batch, teacher_forcing_ratio) -> bool:
+    """Route through the fused Pallas training decoder
+    (ops/tacotron_trainer_kernel.py) when the config and shapes qualify.
+    "auto" additionally requires the TPU backend (Mosaic-only lowering)."""
+    mode = cfg.tacotron_train.fused_decoder
+    if mode == "off":
+        return False
+    from ..ops import tacotron_trainer_kernel as TK
+
+    static_ratio = (
+        isinstance(teacher_forcing_ratio, (int, float)) and teacher_forcing_ratio >= 1.0
+    )
+    ok = (
+        static_ratio
+        and TK.train_supported(cfg.tacotron)
+        and TK.train_supported_shape(
+            batch["inputs"].shape[0], batch["inputs"].shape[1], cfg.tacotron
+        )
+    )
+    if not ok:
+        return False
+    if mode == "on":
+        return True
+    from ..utils import is_tpu_backend
+
+    return is_tpu_backend()
+
+
 def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing_ratio=1.0):
     master = params
     if cfg.tacotron_train.mixed_precision:
         # bf16 weights (BN stats + attention stay f32); grads flow back to
         # the f32 master through the cast (utils/precision.py)
         params = P.cast_params(params)
+    fused = _use_fused_decoder(cfg, batch, teacher_forcing_ratio)
     out, new_params = T.forward_teacher_forced(
         params,
         cfg.tacotron,
@@ -155,6 +184,7 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
         rng,
         teacher_forcing_ratio=teacher_forcing_ratio,
         unroll=cfg.tacotron_train.scan_unroll,
+        fused_core=fused,
     )
     tc = cfg.tacotron_train
     if tc.mixed_precision:
