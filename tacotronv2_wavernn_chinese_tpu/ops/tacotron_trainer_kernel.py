@@ -35,6 +35,25 @@ independent custom-vjp instances, so JAX sums their weight cotangents.
 
 Parity: tests/test_tacotron_trainer_kernel.py checks interpret-mode value
 AND gradient parity against the XLA scan (jax.grad through both paths).
+
+MEASURED STATUS (v5e, B=32, T_out=512, T_in=64): compiles and runs on chip;
+fwd 36.4 ms / fwd+bwd 67.3 ms for the core vs 55.6 ms for the WHOLE
+XLA-scan train step (after round 3's scan optimizations: deferred
+projections + unroll=4).  The kernel does not yet pay for itself, so
+``tacotron_train.fused_decoder`` defaults to "off"; it remains the
+validated substrate for further work.  Findings for the next push:
+  * Mosaic lowers the kernels up to 32 rows (the old 8-row expansion
+    constraint is gone) — but at B=32 the A-width (128-lane) combined
+    location conv's unrolled tap temporaries blow the 16 MB VMEM scoped
+    budget (measured 21.4 MB at stream chunk 4).  Factoring the conv back
+    to F=32 width with an MXU F->A matmul (the inference kernel's layout,
+    ops/tacotron_decoder_kernel.py) cuts those temporaries AND the VPU
+    conv work 4x, and is the identified path to a single-group B=32 core
+    (~4x fewer serial steps than the current 8-row groups).
+  * Per-(8-row-)group per-step cost is ~17.8 us fwd — ~7x the inference
+    kernel's step — dominated by the A-width conv and the 12 save streams;
+    chunk-boundary rematerialization (save carries only at chunk edges,
+    recompute in backward) would cut the streams ~4x.
 """
 
 from __future__ import annotations
@@ -572,11 +591,12 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
     n_chunks, full, ck, rck = _specs_for(static)
     T_pad = n_chunks * chunk
     # the backward streams ~2x the forward's per-step tensors (saves in,
-    # adjoints out); halve the chunk so the double-buffered windows fit
-    # VMEM.  T_pad stays the FORWARD padding (the saves' length), so the
-    # backward grid is T_pad // chunk, not ceil(T / chunk).
-    if chunk > 8 and chunk % 8 == 0:
-        chunk = 8
+    # adjoints out); shrink the chunk so the double-buffered windows fit
+    # VMEM (streams scale with chunk*B).  T_pad stays the FORWARD padding
+    # (the saves' length), so the backward grid is T_pad // chunk.
+    chunk_b = 8 if B <= 8 else 2
+    if chunk > chunk_b and T_pad % chunk_b == 0:
+        chunk = chunk_b
     n_chunks = T_pad // chunk
     rck = lambda *shape: pl.BlockSpec(
         (chunk,) + shape, lambda i, n=n_chunks: (n - 1 - i,) + (0,) * len(shape),
@@ -772,12 +792,17 @@ def fused_core_apply(
     dt = "bf16" if dtype == jnp.bfloat16 else "f32"
     use_masks = masks is not None
 
+    # Mosaic lowers the kernels up to 32 rows; larger batches run as
+    # sequential 32-row groups.  The stream chunk shrinks with the group
+    # size to keep the double-buffered VMEM windows under budget.
+    group = 32 if B >= 32 else B
     outs = []
-    for start in range(0, B, 8):
-        end = min(start + 8, B)
+    for start in range(0, B, group):
+        end = min(start + group, B)
         Bg = end - start
+        chunk_g = int(chunk) if Bg <= 8 else 4
         static = (
-            Bg, T_in, T, int(chunk), pre, u, V, A, taps,
+            Bg, T_in, T, chunk_g, pre, u, V, A, taps,
             float(cfg.zoneout_rate), use_masks, bool(interpret), dt,
         )
         m_g = None

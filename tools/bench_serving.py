@@ -1,0 +1,191 @@
+"""Serving load benchmark -> SERVING_r3.json.
+
+Measures the HTTP serving stack (serving/server.py — the drop-in
+replacement for the reference's Flask -> gRPC -> TF Serving chain,
+website/app/views.py:25-105) under N concurrent clients on the real chip:
+
+  - RPS, p50/p95/mean latency at concurrency 1/4/8/16
+  - the measured benefit of adaptive micro-batching (``--max-batch 8``
+    coalescing vs ``--max-batch 1`` serial dispatch) at concurrency 8
+
+The server runs in-process (its own ThreadingHTTPServer thread, exactly the
+production entrypoint) with random-init weights and a capped decode length
+— serving cost is decode-length-proportional compute, so relative
+concurrency/coalescing behavior is representative while staying
+checkpoint-independent; the artifact records provenance.
+
+Usage: python -m tools.bench_serving [--out SERVING_r3.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import numpy as np
+
+TEXTS = [
+    "你好，欢迎使用语音合成系统。",
+    "今天天气真不错，我们去公园散步吧。",
+    "科学技术是第一生产力。",
+    "这是一个用于测试并发性能的句子。",
+]
+
+
+def post(port: int, text: str, seed: int) -> tuple[float, bool]:
+    body = json.dumps({"text": text, "seed": seed}).encode("utf-8")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate_tts", data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    t0 = time.time()
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            ok = json.loads(resp.read()).get("status") == 0
+    except Exception:
+        ok = False
+    return time.time() - t0, ok
+
+
+def load_run(port: int, concurrency: int, total: int) -> dict:
+    lats: list[float] = []
+    fails = [0]
+    lock = threading.Lock()
+    idx = [0]
+
+    def worker():
+        while True:
+            with lock:
+                if idx[0] >= total:
+                    return
+                i = idx[0]
+                idx[0] += 1
+            dt, ok = post(port, TEXTS[i % len(TEXTS)], seed=i)
+            with lock:
+                if ok:
+                    lats.append(dt)
+                else:
+                    fails[0] += 1
+
+    t0 = time.time()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    lats_s = sorted(lats)
+    return {
+        "concurrency": concurrency,
+        "requests": total,
+        "failed": fails[0],
+        "rps": round(len(lats) / wall, 2),
+        "p50_ms": round(1000 * lats_s[len(lats_s) // 2], 1) if lats_s else None,
+        "p95_ms": round(1000 * lats_s[int(len(lats_s) * 0.95)], 1) if lats_s else None,
+        "mean_ms": round(1000 * float(np.mean(lats_s)), 1) if lats_s else None,
+        "wall_s": round(wall, 2),
+    }
+
+
+def start_server(cfg, synth, port: int, max_batch: int):
+    from tacotronv2_wavernn_chinese_tpu.serving.server import serve
+
+    httpd = serve(cfg, synth, host="127.0.0.1", port=port, max_batch=max_batch)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    return httpd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SERVING_r3.json")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--ckpt-dir", default=None, help="optional trained checkpoint")
+    ap.add_argument("--max-iters", type=int, default=220)
+    args = ap.parse_args()
+
+    from tacotronv2_wavernn_chinese_tpu.config import default_config
+    from tacotronv2_wavernn_chinese_tpu.infer.synthesizer import Synthesizer
+    from tacotronv2_wavernn_chinese_tpu.models import tacotron as T
+    from tacotronv2_wavernn_chinese_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = default_config()
+    if args.ckpt_dir:
+        synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, None)
+        synth.max_iters = args.max_iters
+        weights = f"checkpoint {args.ckpt_dir}"
+    else:
+        params = T.init_tacotron(jax.random.PRNGKey(0), cfg.tacotron)
+        # random init fires the stop token immediately; force realistic
+        # decode lengths so each request does real decode work
+        import jax.numpy as jnp
+
+        params["stop_projection"] = dict(
+            params["stop_projection"],
+            b=jnp.full_like(params["stop_projection"]["b"], -20.0),
+        )
+        synth = Synthesizer(cfg, params, max_iters=args.max_iters)
+        weights = f"random-init, stop bias -20, max_iters {args.max_iters}"
+
+    # warm both compiled shapes (single + coalesced batch)
+    synth.synthesize("你好。")
+    synth.mel_from_ids([synth.symbols.encode(get_pyin_cached("你好。"))] * 8)
+
+    rows = []
+    total = 8 if args.quick else 24
+    conc_list = [1, 4] if args.quick else [1, 4, 8, 16]
+
+    httpd = start_server(cfg, synth, port=8761, max_batch=8)
+    post(8761, TEXTS[0], 0)  # end-to-end warmup through HTTP
+    for conc in conc_list:
+        row = load_run(8761, conc, total)
+        row["max_batch"] = 8
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    httpd.shutdown()
+
+    # coalescing OFF (serial dispatch) at the middle concurrency
+    httpd = start_server(cfg, synth, port=8762, max_batch=1)
+    post(8762, TEXTS[0], 0)
+    conc_mid = 4 if args.quick else 8
+    row = load_run(8762, conc_mid, total)
+    row["max_batch"] = 1
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+    httpd.shutdown()
+
+    on = [r for r in rows if r["max_batch"] == 8 and r["concurrency"] == conc_mid]
+    off = [r for r in rows if r["max_batch"] == 1]
+    benefit = None
+    if on and off and off[0]["rps"]:
+        benefit = round(on[0]["rps"] / off[0]["rps"], 2)
+    artifact = {
+        "provenance": {
+            "tool": "tools/bench_serving.py",
+            "weights": weights,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "vocoder": "griffin-lim (acoustic-dominated latency)",
+        },
+        "rows": rows,
+        "coalescing_rps_benefit_at_conc%d" % conc_mid: benefit,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"# wrote {args.out}; coalescing benefit x{benefit}")
+
+
+def get_pyin_cached(text):
+    from tacotronv2_wavernn_chinese_tpu.frontend import get_pyin
+
+    return get_pyin(text)[0]
+
+
+if __name__ == "__main__":
+    main()

@@ -177,6 +177,128 @@ def heldout_eval(cfg, params, metadata_path: str, mel_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# MCD (audio-domain quality) + best-checkpoint selection
+# ---------------------------------------------------------------------------
+
+
+def mcd_from_wavs(wav_pred: np.ndarray, wav_gt: np.ndarray, audio_cfg,
+                  n_coeffs: int = 13) -> float:
+    """Mel-cepstral distortion (dB) between two waveforms, DTW-free.
+
+    The classic MCD: mel-cepstral coefficients are the orthonormal DCT-II of
+    the ln-amplitude mel spectrum; per frame
+    MCD = (10/ln10) * sqrt(2 * sum_{i=1..13} (c_p[i]-c_g[i])^2), averaged
+    over frames (c0 — overall energy/gain — excluded).  Both wavs run
+    through the SAME mel pipeline (the dB output is converted back to
+    ln-amplitude: ln a = dB * ln10 / 20)."""
+    import jax.numpy as jnp
+    from scipy.fftpack import dct as scipy_dct
+
+    from tacotronv2_wavernn_chinese_tpu.dsp.spectrogram import MelPipeline, denormalize
+
+    pipe = MelPipeline(audio_cfg)
+    n = min(len(wav_pred), len(wav_gt))
+    db_p = np.asarray(denormalize(pipe.melspectrogram(jnp.asarray(wav_pred[:n])), audio_cfg))
+    db_g = np.asarray(denormalize(pipe.melspectrogram(jnp.asarray(wav_gt[:n])), audio_cfg))
+    t = min(db_p.shape[0], db_g.shape[0])
+    ln_p = db_p[:t] * (np.log(10.0) / 20.0)
+    ln_g = db_g[:t] * (np.log(10.0) / 20.0)
+    c_p = scipy_dct(ln_p, type=2, axis=-1, norm="ortho")
+    c_g = scipy_dct(ln_g, type=2, axis=-1, norm="ortho")
+    diff = c_p[:, 1 : n_coeffs + 1] - c_g[:, 1 : n_coeffs + 1]
+    return float(np.mean(
+        (10.0 / np.log(10.0)) * np.sqrt(2.0 * np.sum(diff**2, axis=-1))
+    ))
+
+
+def select_best_checkpoint(cfg, taco_log: str, holdout_meta: str, mel_dir: str,
+                           log=print) -> dict:
+    """Evaluate held-out teacher-forced mel L1 at EVERY kept checkpoint and
+    mark the best (the round-2 run shipped a final checkpoint 26% worse than
+    its best — reference has no selection at all, train.py:189).  Writes
+    ``best_checkpoint.json`` beside the checkpoints and returns the row."""
+    import jax
+
+    from tacotronv2_wavernn_chinese_tpu.train import tacotron_task as task
+    from tacotronv2_wavernn_chinese_tpu.utils.checkpoints import CheckpointManager
+
+    ckpt_dir = os.path.join(taco_log, "taco_pretrained")
+    mgr = CheckpointManager(ckpt_dir)
+    template = task.init_state(jax.random.PRNGKey(0), cfg)
+    per_step = []
+    for step in sorted(mgr.all_steps()):
+        state = mgr.restore(template, step=step)
+        hold = heldout_eval(cfg, state.params, holdout_meta, mel_dir)
+        per_step.append({"step": int(step), "mel_l1": hold["mel_l1"]})
+        log(f"ckpt {step}: held-out mel L1 {hold['mel_l1']:.4f}")
+    best = min(per_step, key=lambda r: r["mel_l1"])
+    row = {"best_step": best["step"], "best_mel_l1": best["mel_l1"],
+           "evaluated": per_step}
+    with open(os.path.join(ckpt_dir, "best_checkpoint.json"), "w") as f:
+        json.dump(row, f, indent=1)
+    mgr.close()
+    return row
+
+
+def mcd_eval(cfg, taco_params, voc_log: str, holdout_meta: str, mel_dir: str,
+             wav_dir: str, n_max: int = 12, log=print) -> dict:
+    """Held-out text -> (teacher-forced) mel -> trained WaveRNN -> wav,
+    scored with MCD against the ground-truth audio (reference quality loop
+    is human listening, wavernn_train.py:139-141; this is its objective
+    replacement).  Teacher-forced lengths make the comparison DTW-free."""
+    import jax
+    import jax.numpy as jnp
+
+    from tacotronv2_wavernn_chinese_tpu.data.loader import TacotronDataset
+    from tacotronv2_wavernn_chinese_tpu.data.preprocess import read_metadata
+    from tacotronv2_wavernn_chinese_tpu.dsp.spectrogram import mel_to_unit
+    from tacotronv2_wavernn_chinese_tpu.dsp.wav import load_wav
+    from tacotronv2_wavernn_chinese_tpu.models import tacotron as T
+    from tacotronv2_wavernn_chinese_tpu.models import wavernn as W
+    from tacotronv2_wavernn_chinese_tpu.train import wavernn_task as WT
+    from tacotronv2_wavernn_chinese_tpu.utils.checkpoints import CheckpointManager
+
+    vmgr = CheckpointManager(os.path.join(voc_log, "checkpoints"))
+    vtempl = WT.init_state(jax.random.PRNGKey(0), cfg)
+    vstate = vmgr.restore(vtempl)
+    vmgr.close()
+    if vstate is None:
+        return {"mcd": None, "note": "no vocoder checkpoint"}
+    voc_params = jax.device_get(vstate.params)
+
+    rows = read_metadata(holdout_meta)[:n_max]
+    ds = TacotronDataset(rows, mel_dir, cfg)
+    mcds = []
+    row_idx = 0
+    for batch in ds.sequential_batches(4):
+        out, _ = T.forward_teacher_forced(
+            taco_params, cfg.tacotron, jnp.asarray(batch.inputs),
+            jnp.asarray(batch.input_lengths), jnp.asarray(batch.mel_targets),
+            False, jax.random.PRNGKey(0),
+        )
+        mel = np.asarray(out.mel_outputs)
+        for i in range(mel.shape[0]):
+            src = rows[row_idx]
+            row_idx += 1
+            Tlen = int(batch.target_lengths[i])
+            # metadata col 0 'audio-XXXXXX.npy' -> corpus 'XXXXXX.wav'
+            utt = src[0].rsplit("-", 1)[-1].split(".")[0]
+            gt_path = os.path.join(wav_dir, f"{utt}.wav")
+            if Tlen == 0 or not os.path.exists(gt_path):
+                continue
+            unit = np.asarray(mel_to_unit(mel[i][:Tlen], cfg.audio, xp=np))
+            unit = np.clip(unit, 0.0, 1.0)
+            wav_pred = W.generate(
+                voc_params, cfg.wavernn, cfg.wavernn_gen, unit,
+                jax.random.PRNGKey(i), cfg.audio.bits,
+            )
+            wav_gt = load_wav(gt_path, cfg.audio.sample_rate)
+            mcds.append(mcd_from_wavs(np.asarray(wav_pred), np.asarray(wav_gt), cfg.audio))
+            log(f"mcd[{len(mcds)}] ({utt}): {mcds[-1]:.3f} dB")
+    return {"mcd": float(np.mean(mcds)) if mcds else None, "n_scored": len(mcds)}
+
+
+# ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
 
@@ -243,10 +365,25 @@ def run(work: str, out_json: str, n_utts: int, taco_steps: int, voc_steps: int,
     scalars = read_scalars(os.path.join(taco_log, "scalars.jsonl"))
     losses = [(s["step"], s["loss"]) for s in scalars if "loss" in s]
 
-    # 3. held-out teacher-forced eval
+    # 3. held-out teacher-forced eval (final checkpoint) + BEST-checkpoint
+    #    selection over every kept checkpoint (the r2 run shipped a final
+    #    checkpoint 26% worse than its best; the best one drives GTA + MCD)
     hold = heldout_eval(cfg, params, os.path.join(feat_dir, "holdout.txt"), feat_dir)
+    best = select_best_checkpoint(
+        cfg, taco_log, os.path.join(feat_dir, "holdout.txt"), feat_dir
+    )
+    if best["best_step"] != int(state.step):
+        from tacotronv2_wavernn_chinese_tpu.train import tacotron_task as _task
+        from tacotronv2_wavernn_chinese_tpu.utils.checkpoints import (
+            CheckpointManager as _CM,
+        )
 
-    # 4. GTA bridge over the train split
+        _mgr = _CM(os.path.join(taco_log, "taco_pretrained"))
+        _tmpl = _task.init_state(jax.random.PRNGKey(0), cfg)
+        params = jax.device_get(_mgr.restore(_tmpl, step=best["best_step"]).params)
+        _mgr.close()
+
+    # 4. GTA bridge over the train split (best checkpoint)
     from tacotronv2_wavernn_chinese_tpu.infer.gta import generate_gta
 
     gta_dir = os.path.join(work, "gta")
@@ -267,6 +404,13 @@ def run(work: str, out_json: str, n_utts: int, taco_steps: int, voc_steps: int,
     voc_time = time.time() - t0
     voc_scalars = read_scalars(os.path.join(voc_log, "scalars.jsonl"))
     voc_losses = [(s["step"], s["loss"]) for s in voc_scalars if "loss" in s]
+
+    # 6. audio-domain quality: held-out text -> wav (trained WaveRNN) vs
+    #    ground truth, scored with MCD
+    mcd = mcd_eval(
+        cfg, params, voc_log, os.path.join(feat_dir, "holdout.txt"), feat_dir,
+        wav_dir, n_max=4 if quick else 12,
+    )
 
     ckpts = sorted(os.listdir(os.path.join(taco_log, "taco_pretrained")))
     report = {
@@ -290,6 +434,8 @@ def run(work: str, out_json: str, n_utts: int, taco_steps: int, voc_steps: int,
             "checkpoints_kept": len(ckpts),
         },
         "heldout": hold,
+        "best_checkpoint": best,
+        "mcd": mcd,
         "wavernn": {
             "loss_curve": voc_losses[:: max(1, len(voc_losses) // 50)],
             "loss_first": voc_losses[0][1] if voc_losses else None,
