@@ -58,6 +58,8 @@ class Synthesizer:
         self.symbols = symbols if symbols is not None else default_symbols()
         self.pipe = S.MelPipeline(cfg.audio)
         self.max_iters = max_iters or cfg.tacotron.max_iters
+        # fully-jitted Griffin-Lim reconstruction (pipe is closure-static)
+        self._gl_jit = jax.jit(lambda m: inv_mel_spectrogram(m, self.pipe))
         mcfg, mi = cfg.tacotron, self.max_iters
         # fused decoder kernel on TPU when the config + call shape support it
         # (3x faster per decode step than the XLA while_loop); outside the
@@ -165,7 +167,10 @@ class Synthesizer:
         T_pad = _round_up(max(T, 64), 64)
         pad_val = -self.cfg.audio.max_abs_value  # silence
         mel_p = np.pad(mel, ((0, T_pad - T), (0, 0)), constant_values=pad_val)
-        wav = np.asarray(inv_mel_spectrogram(jnp.asarray(mel_p), self.pipe))
+        # ONE jitted dispatch for the whole mel->linear->Griffin-Lim->
+        # de-emphasis chain: the un-jitted chain paid ~8 op-by-op dispatch
+        # RTTs (~0.9 s through the axon tunnel; ~80 ms after)
+        wav = np.asarray(self._gl_jit(jnp.asarray(mel_p)))
         return wav[: T * self.cfg.audio.hop_size]
 
     def synthesize(self, text: str, out_dir: str | None = None, seed: int = 0):

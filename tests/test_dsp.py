@@ -123,6 +123,35 @@ def test_griffin_lim_reconstruction():
     assert corr > 0.55, corr
 
 
+def test_griffin_lim_matmul_parity():
+    """The MXU matmul-DFT variant must match the FFT path (same math)."""
+    from tacotronv2_wavernn_chinese_tpu.dsp.griffin_lim import griffin_lim_matmul
+
+    rng = np.random.RandomState(0)
+    K = CFG.n_fft // 2 + 1
+    S = jnp.asarray(rng.uniform(0.0, 2.0, (48, K)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    args = (CFG.n_fft, CFG.hop_size, CFG.win_size)
+    y_fft = np.asarray(griffin_lim(S, key, *args, iters=12))
+    y_mm = np.asarray(griffin_lim_matmul(S, key, *args, iters=12))
+    assert y_fft.shape == y_mm.shape
+    scale = max(float(np.abs(y_fft).max()), 1e-9)
+    np.testing.assert_allclose(y_mm / scale, y_fft / scale, atol=2e-4)
+
+
+def test_inv_preemphasis_assoc_parity():
+    """Log-depth associative-scan IIR must match the serial lax.scan."""
+    from tacotronv2_wavernn_chinese_tpu.dsp.griffin_lim import (
+        inv_preemphasis_assoc,
+        inv_preemphasis_scan,
+    )
+
+    x = jnp.asarray(np.random.RandomState(3).randn(7001).astype(np.float32))
+    y_scan = np.asarray(inv_preemphasis_scan(x, 0.97))
+    y_assoc = np.asarray(inv_preemphasis_assoc(x, 0.97))
+    np.testing.assert_allclose(y_assoc, y_scan, atol=2e-4, rtol=1e-5)
+
+
 def test_preemphasis_roundtrip():
     y = jnp.asarray(_test_signal(4096))
     z = preemphasis_fir(y, 0.97)
