@@ -58,8 +58,14 @@ class Synthesizer:
         self.symbols = symbols if symbols is not None else default_symbols()
         self.pipe = S.MelPipeline(cfg.audio)
         self.max_iters = max_iters or cfg.tacotron.max_iters
-        # fully-jitted Griffin-Lim reconstruction (pipe is closure-static)
+        # fully-jitted Griffin-Lim reconstruction (pipe is closure-static);
+        # the vmapped form reconstructs a whole coalesced batch in ONE
+        # dispatch (serving micro-batching: N serial ~32 ms RTT-bound calls
+        # -> one batched MXU program)
         self._gl_jit = jax.jit(lambda m: inv_mel_spectrogram(m, self.pipe))
+        self._gl_jit_batch = jax.jit(
+            jax.vmap(lambda m: inv_mel_spectrogram(m, self.pipe))
+        )
         mcfg, mi = cfg.tacotron, self.max_iters
         # fused decoder kernel on TPU when the config + call shape support it
         # (3x faster per decode step than the XLA while_loop); outside the
@@ -173,6 +179,25 @@ class Synthesizer:
         wav = np.asarray(self._gl_jit(jnp.asarray(mel_p)))
         return wav[: T * self.cfg.audio.hop_size]
 
+    def mels_to_wavs_gl(self, mels: Sequence[np.ndarray]) -> list[np.ndarray]:
+        """Batched Griffin-Lim: pad every mel to one 64-frame bucket and
+        reconstruct the whole batch in ONE vmapped device dispatch, then
+        trim per example.  Matches ``mel_to_wav`` exactly when the example
+        would land in the same 64-frame bucket (same PRNGKey(0) phase
+        init); examples shorter than the batch max see a different padded
+        length, which only perturbs the random phase draw."""
+        T_max = max(m.shape[0] for m in mels)
+        T_pad = _round_up(max(T_max, 64), 64)
+        pad_val = -self.cfg.audio.max_abs_value  # silence
+        B = len(mels)
+        B_pad = 1 << (B - 1).bit_length()  # power-of-2 batch buckets
+        stacked = np.full((B_pad, T_pad, mels[0].shape[1]), pad_val, np.float32)
+        for i, m in enumerate(mels):
+            stacked[i, : m.shape[0]] = m
+        wavs = np.asarray(self._gl_jit_batch(jnp.asarray(stacked)))
+        hop = self.cfg.audio.hop_size
+        return [w[: m.shape[0] * hop] for w, m in zip(wavs, mels)]
+
     def synthesize(self, text: str, out_dir: str | None = None, seed: int = 0):
         """Full pipeline; optionally writes artifacts like the reference CLI
         (tacotron_synthesize.py:186-197): wav, mel .npy rescaled to [0,1],
@@ -223,7 +248,7 @@ class Synthesizer:
                 apply_mu_law=self.cfg.audio.mu_law,
             )
         else:
-            wavs = [self.mel_to_wav(m, seed=seed) for m in mels]
+            wavs = self.mels_to_wavs_gl(mels)
         return [
             {"wav": w, "mel": m, "alignment": a, "pyin": p}
             for w, m, a, p in zip(wavs, mels, aligns, pyins)

@@ -127,6 +127,34 @@ def test_synthesize_griffin_lim(taco_state, tmp_path):
     assert r["pyin"].startswith("n i3")
 
 
+def test_synthesize_batch_griffin_lim(taco_state):
+    """Batched GL path: one vmapped dispatch, per-example trim; an example
+    in the same 64-frame bucket matches the single-example path exactly."""
+    # force the stop head off so both examples decode a full 40 frames
+    # (the 60-step fixture model can fire stop at frame 0 in padded batches)
+    params = dict(
+        taco_state.params,
+        stop_projection=jax.tree.map(
+            lambda x: x - 20.0 if x.ndim == 1 else x,
+            dict(taco_state.params["stop_projection"]),
+        ),
+    )
+    synth = Synthesizer(CFG, params, max_iters=40)
+    rs = synth.synthesize_batch(["你好。", "今天天气好。"])
+    assert len(rs) == 2
+    for r in rs:
+        assert r["wav"].ndim == 1 and r["wav"].size > 0
+        assert np.isfinite(r["wav"]).all()
+        assert len(r["wav"]) == r["mel"].shape[0] * CFG.audio.hop_size
+    # single-path equivalence on the same bucket: feed identical mels so
+    # batch max == each example's own bucket
+    mel = rs[0]["mel"]
+    w1 = synth.mel_to_wav(mel)
+    w2 = synth.mels_to_wavs_gl([mel, mel])
+    np.testing.assert_allclose(w2[0], w1, atol=1e-5)
+    np.testing.assert_allclose(w2[1], w1, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def gta_dir(taco_state, training_data, tmp_path_factory):
     out = tmp_path_factory.mktemp("gta_e2e")

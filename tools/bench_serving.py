@@ -52,7 +52,17 @@ def post(port: int, text: str, seed: int) -> tuple[float, bool]:
     return time.time() - t0, ok
 
 
-def load_run(port: int, concurrency: int, total: int) -> dict:
+def load_run(port: int, concurrency: int, total: int,
+             distinct_seeds: bool = False) -> dict:
+    """Drive ``total`` requests through ``concurrency`` client threads.
+
+    The reference serving contract (website/app/views.py:25-105) has NO
+    per-request seed — every request shares one stream — so the default
+    load uses seed 0 for all requests (the coalescable case, matching
+    production traffic).  ``distinct_seeds=True`` gives every request its
+    own seed, which defeats same-seed coalescing by design (reproducible
+    per-request seeds cannot share a batched decode); that row measures
+    the serial-dispatch fallback."""
     lats: list[float] = []
     fails = [0]
     lock = threading.Lock()
@@ -65,7 +75,7 @@ def load_run(port: int, concurrency: int, total: int) -> dict:
                     return
                 i = idx[0]
                 idx[0] += 1
-            dt, ok = post(port, TEXTS[i % len(TEXTS)], seed=i)
+            dt, ok = post(port, TEXTS[i % len(TEXTS)], seed=i if distinct_seeds else 0)
             with lock:
                 if ok:
                     lats.append(dt)
@@ -133,9 +143,11 @@ def main():
         synth = Synthesizer(cfg, params, max_iters=args.max_iters)
         weights = f"random-init, stop bias -20, max_iters {args.max_iters}"
 
-    # warm both compiled shapes (single + coalesced batch)
+    # warm the compiled shapes: single decode + coalesced batch decodes and
+    # their batched Griffin-Lim programs (power-of-2 batch buckets)
     synth.synthesize("你好。")
-    synth.mel_from_ids([synth.symbols.encode(get_pyin_cached("你好。"))] * 8)
+    for nb in (8, 4, 2):
+        synth.synthesize_batch((TEXTS * 2)[:nb])
 
     rows = []
     total = 8 if args.quick else 24
@@ -148,19 +160,27 @@ def main():
         row["max_batch"] = 8
         rows.append(row)
         print(json.dumps(row), flush=True)
+    # distinct per-request seeds: coalescing is defeated by design
+    # (reproducibility), measuring the serial-dispatch fallback
+    conc_mid = 4 if args.quick else 8
+    row = load_run(8761, conc_mid, total, distinct_seeds=True)
+    row["max_batch"] = 8
+    row["distinct_seeds"] = True
+    rows.append(row)
+    print(json.dumps(row), flush=True)
     httpd.shutdown()
 
     # coalescing OFF (serial dispatch) at the middle concurrency
     httpd = start_server(cfg, synth, port=8762, max_batch=1)
     post(8762, TEXTS[0], 0)
-    conc_mid = 4 if args.quick else 8
     row = load_run(8762, conc_mid, total)
     row["max_batch"] = 1
     rows.append(row)
     print(json.dumps(row), flush=True)
     httpd.shutdown()
 
-    on = [r for r in rows if r["max_batch"] == 8 and r["concurrency"] == conc_mid]
+    on = [r for r in rows if r["max_batch"] == 8 and r["concurrency"] == conc_mid
+          and not r.get("distinct_seeds")]
     off = [r for r in rows if r["max_batch"] == 1]
     benefit = None
     if on and off and off[0]["rps"]:
