@@ -124,10 +124,16 @@ class Synthesizer:
         stop frame count) trimmed per example (reference
         tacotron_synthesize.py:104-108: trim at the first stop flag)."""
         B = len(ids_batch)
-        lens = [len(x) for x in ids_batch]
+        # power-of-2 batch buckets: serving coalesces arbitrary batch sizes
+        # 2..max_batch, and every distinct (B, T_in) is a fresh XLA compile
+        # (~4 s through the tunnel); padding rows DUPLICATE the last real
+        # example so the batch's stop behavior matches real traffic
+        B_pad = 1 << (B - 1).bit_length()
+        padded = list(ids_batch) + [ids_batch[-1]] * (B_pad - B)
+        lens = [len(x) for x in padded]
         T_in = _round_up(max(lens), 16)
-        inputs = np.zeros((B, T_in), np.int32)
-        for i, ids in enumerate(ids_batch):
+        inputs = np.zeros((B_pad, T_in), np.int32)
+        for i, ids in enumerate(padded):
             inputs[i, : len(ids)] = ids
         out = self._infer(
             self.params,

@@ -143,11 +143,15 @@ def main():
         synth = Synthesizer(cfg, params, max_iters=args.max_iters)
         weights = f"random-init, stop bias -20, max_iters {args.max_iters}"
 
-    # warm the compiled shapes: single decode + coalesced batch decodes and
-    # their batched Griffin-Lim programs (power-of-2 batch buckets)
-    synth.synthesize("你好。")
-    for nb in (8, 4, 2):
-        synth.synthesize_batch((TEXTS * 2)[:nb])
+    # warm the compiled shapes: coalesced batches land in power-of-2 batch
+    # buckets x the TEXTS' two T_in buckets (32 with only-short texts, 48
+    # when the longest rides along), plus their batched Griffin-Lim programs
+    short, long_ = TEXTS[0], TEXTS[1]
+    for nb in (8, 4, 2, 1):
+        synth.synthesize_batch([short] * nb)
+        synth.synthesize_batch(([long_] + [short] * (nb - 1)) if nb > 1 else [long_])
+    synth.synthesize(short)  # single path uses the unbatched GL program
+    synth.synthesize(long_)
 
     rows = []
     total = 8 if args.quick else 24
