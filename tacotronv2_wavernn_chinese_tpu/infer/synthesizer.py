@@ -142,12 +142,17 @@ class Synthesizer:
             jax.random.PRNGKey(seed),
         )
         mels, aligns, stops = [], [], []
+        # ONE device->host transfer per array: slicing out.mel_outputs[i]
+        # per example issued 2B separate ~25 ms RTT-bound transfers through
+        # the tunnel (0.4 s/batch at B=8; the bulk transfer is 0.08 s)
         stop_len = np.asarray(out.stop_lengths)
+        mel_all = np.asarray(out.mel_outputs)
+        align_all = np.asarray(out.alignments)
         for i in range(B):
             n = int(stop_len[i])
-            mels.append(np.asarray(out.mel_outputs[i])[:n])
+            mels.append(mel_all[i, :n])
             r = self.cfg.tacotron.outputs_per_step
-            aligns.append(np.asarray(out.alignments[i])[: -(-n // r), : lens[i]])
+            aligns.append(align_all[i, : -(-n // r), : lens[i]])
             stops.append(n)
         return mels, aligns, stops
 
