@@ -91,11 +91,17 @@ def train_supported_shape(batch: int, t_in: int, cfg: TacotronModelConfig | None
     return t_in <= 256
 
 
-# weight tensors the core differentiates through, in kernel argument order
+# weight tensors the core differentiates through, in kernel argument order.
+# The location conv stays at F width ([taps, F], F=attention_filters) with a
+# separate F->A location dense ([F, A]) applied as ONE MXU matmul per
+# subtile — the inference kernel's layout.  The first cut folded conv∘dense
+# into a combined [taps, A] kernel, which made every unrolled tap temporary
+# A-wide: 4x the VPU work and the VMEM blow-up that kept B=32 single-group
+# off the table (21.4 MB scoped at stream chunk 4).
 CORE_WEIGHTS = (
     "l1_pre", "l1_ctx", "l1_h", "l1_b",
     "l2_x", "l2_h", "l2_b",
-    "wq", "wcomb", "ball", "v",
+    "wq", "w_conv", "w_loc", "ball", "v",
     "mu_c", "mu_q", "mu_b",
 )
 
@@ -192,10 +198,11 @@ def _fwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         out2 = new_h2
 
         # --- location-sensitive energy over <=64-wide encoder subtiles ---
-        # (combined conv: location conv o location dense folded into ONE
-        # [taps, A] kernel + merged bias, models/attention.py:138-157)
+        # F-width conv taps (VPU) + ONE F->A MXU matmul per subtile
+        # (models/attention.py:138-157; conv bias merged into ball)
         pq = _mm(out2, W["wq"])  # [B, A]
-        conv_w = W["wcomb"][:].astype(f32)  # [taps, A]
+        conv_w = W["w_conv"][:].astype(f32)  # [taps, F]
+        F = conv_w.shape[1]
         mask = mask_ref[:]
         for lo in range(0, T_in, 64):
             wdt = min(64, T_in - lo)
@@ -206,10 +213,15 @@ def _fwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
             if d1 < wdt + taps - 1:
                 winS[:, d1 : wdt + taps - 1] = jnp.zeros((B, wdt + taps - 1 - d1), f32)
             winS[:, d0:d1] = cum[:, lo - padl + d0 : lo - padl + d1]
-            loc_t = jnp.zeros((B, wdt, A), f32)
+            f_tile = jnp.zeros((B, wdt, F), f32)
             for j in range(taps):
                 win = winS[:, j : j + wdt]
-                loc_t = loc_t + win[..., None] * conv_w[j][None, None, :]
+                f_tile = f_tile + win[..., None] * conv_w[j][None, None, :]
+            loc_t = jnp.dot(
+                f_tile.reshape(B * wdt, F).astype(W["w_loc"].dtype),
+                W["w_loc"][:],
+                preferred_element_type=f32,
+            ).reshape(B, wdt, A)
             e_t = jnp.tanh(
                 keys_ref[:, lo : lo + wdt, :].astype(f32)
                 + pq[:, None, :]
@@ -265,7 +277,7 @@ def _fwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
 # ---------------------------------------------------------------------------
 
 BWD_OUTS = ("d_g1", "d_g2", "d_q", "d_mulin", "d_ctx_tot")
-BWD_ACCS = ("d_keys", "d_wcomb", "d_v", "d_ball")
+BWD_ACCS = ("d_keys", "d_conv", "d_wloc", "d_v", "d_ball")
 
 
 def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
@@ -292,10 +304,8 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         for ref in (ac1S, ah1S, ac2S, ah2S, actxS, aalphaS, acumS, amuS):
             ref[:] = jnp.zeros_like(ref)
         cumS[:] = cumT_ref[:]
-        accs["d_keys"][:] = jnp.zeros_like(accs["d_keys"])
-        accs["d_wcomb"][:] = jnp.zeros_like(accs["d_wcomb"])
-        accs["d_v"][:] = jnp.zeros_like(accs["d_v"])
-        accs["d_ball"][:] = jnp.zeros_like(accs["d_ball"])
+        for name in BWD_ACCS:
+            accs[name][:] = jnp.zeros_like(accs[name])
         shiftS[:] = jnp.zeros_like(shiftS)
 
     def body(s_rev, _):
@@ -366,7 +376,8 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
 
         # G/F: energy recompute + adjoints, per 64-subtile
         pq = _mm(out2, W["wq"])
-        conv_w = W["wcomb"][:].astype(f32)
+        conv_w = W["w_conv"][:].astype(f32)  # [taps, F]
+        F = conv_w.shape[1]
         v_vec = W["v"][:].astype(f32)  # [1, A]
         d_q_acc = jnp.zeros((B, A), f32)
         dcumP[:] = jnp.zeros_like(dcumP)
@@ -379,12 +390,17 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
             if d1 < wdt + taps - 1:
                 winS[:, d1 : wdt + taps - 1] = jnp.zeros((B, wdt + taps - 1 - d1), f32)
             winS[:, d0:d1] = cum_prev[:, lo - padl + d0 : lo - padl + d1]
-            loc_t = jnp.zeros((B, wdt, A), f32)
+            f_tile = jnp.zeros((B, wdt, F), f32)
             for j in range(taps):
                 win = winS[:, j : j + wdt]
-                loc_t = loc_t + win[..., None] * conv_w[j][None, None, :]
-                # stage the im2col window for the wcomb gradient
+                f_tile = f_tile + win[..., None] * conv_w[j][None, None, :]
+                # stage the im2col window for the conv gradient
                 wS[:, :wdt, j : j + 1] = win[..., None]
+            f2 = f_tile.reshape(B * wdt, F)
+            loc_t = jnp.dot(
+                f2.astype(W["w_loc"].dtype), W["w_loc"][:],
+                preferred_element_type=f32,
+            ).reshape(B, wdt, A)
             th = jnp.tanh(
                 keys_ref[:, lo : lo + wdt, :].astype(f32)
                 + pq[:, None, :]
@@ -407,19 +423,29 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
                 )
             d_q_acc = d_q_acc + jnp.sum(d_th, axis=1)
             d2 = d_th.reshape(B * wdt, A)
+            # loc enters the tanh argument additively, so d_loc = d_th;
+            # chain through the F->A dense: d_f = d_th . w_loc^T  [B*wdt, F]
+            d_f = jax.lax.dot_general(
+                d2, W["w_loc"][:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
             if "adiag" not in DEBUG_SKIP:
-                # conv transpose -> d_cum (anti-diagonal accumulate)
+                # conv transpose -> d_cum (anti-diagonal accumulate), F width
                 G = jax.lax.dot_general(
-                    d2, conv_w, (((1,), (1,)), ((), ())), preferred_element_type=f32
+                    d_f, conv_w, (((1,), (1,)), ((), ())), preferred_element_type=f32
                 ).reshape(B, wdt, taps)
                 for j in range(taps):
                     g_j = G[:, :, j]  # [B, wdt]
                     dcumP[:, lo + j : lo + j + wdt] = dcumP[:, lo + j : lo + j + wdt] + g_j
             if "wcomb" not in DEBUG_SKIP:
-                # wcomb gradient: im2col^T x d_th
-                accs["d_wcomb"][:] = accs["d_wcomb"][:] + jax.lax.dot_general(
-                    wS[:, :wdt, :].reshape(B * wdt, taps), d2,
+                # conv-kernel gradient: im2col^T x d_f  [taps, F]
+                accs["d_conv"][:] = accs["d_conv"][:] + jax.lax.dot_general(
+                    wS[:, :wdt, :].reshape(B * wdt, taps), d_f,
                     (((0,), (0,)), ((), ())), preferred_element_type=f32,
+                )
+                # location-dense gradient: f_tile^T x d_th  [F, A]
+                accs["d_wloc"][:] = accs["d_wloc"][:] + jax.lax.dot_general(
+                    f2, d2, (((0,), (0,)), ((), ())), preferred_element_type=f32,
                 )
         # dcumP index = tau + padl; valid tau in [0, T_in).  cum_{t-1} gets
         # BOTH the identity pass-through of cum_t's adjoint (through
@@ -612,6 +638,7 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
         m_pad = [jnp.zeros((1, 1, 1), f32)] * 4
         m_specs = [full(3)] * 4
     wl = _weights_list(weights, dtype)
+    F_loc = weights[8].shape[1]  # w_conv [taps, F]
     dims = (B, T_in, pre, u, V, A, taps, float(zoneout), bool(use_masks))
 
     # saves: full FWD_OUTS tuple (already padded, [T_pad, ...])
@@ -628,14 +655,15 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
         jax.ShapeDtypeStruct((T_pad, B), f32),         # d_mulin
         jax.ShapeDtypeStruct((T_pad, B, V), f32),      # d_ctx_tot
         jax.ShapeDtypeStruct((B, T_in, A), f32),       # d_keys
-        jax.ShapeDtypeStruct((taps, A), f32),          # d_wcomb
+        jax.ShapeDtypeStruct((taps, F_loc), f32),      # d_conv
+        jax.ShapeDtypeStruct((F_loc, A), f32),         # d_wloc
         jax.ShapeDtypeStruct((B, A), f32),             # d_v (per-example rows)
         jax.ShapeDtypeStruct((B, A), f32),             # d_ball (per-example rows)
     ]
     const3 = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_specs = [
         rck(B, 4 * u), rck(B, 4 * u), rck(B, A), rck(B), rck(B, V),
-        const3(), const3(), const3(), const3(),
+        const3(), const3(), const3(), const3(), const3(),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -701,7 +729,8 @@ def _core_bwd(static, res, cots):
     weights, p_seq, masks, keys, values, mem_mask, saves = res
     T = static[2]
     f32 = jnp.float32
-    (d_g1, d_g2, d_q, d_mulin, d_ctx_tot, d_keys, d_wcomb, d_v, d_ball) = _bwd_call(
+    (d_g1, d_g2, d_q, d_mulin, d_ctx_tot, d_keys, d_conv, d_wloc, d_v,
+     d_ball) = _bwd_call(
         static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
     )
     # weight gradients as large batched einsums OUTSIDE the kernel (MXU):
@@ -722,7 +751,8 @@ def _core_bwd(static, res, cots):
         jnp.einsum("tbu,tbg->ug", h2p_s, d_g2, precision=hp),            # l2_h
         jnp.sum(d_g2, axis=(0, 1))[None],                                 # l2_b
         jnp.einsum("tbu,tba->ua", out2_s, d_q, precision=hp),            # wq
-        d_wcomb,                                                          # wcomb
+        d_conv,                                                           # w_conv
+        d_wloc,                                                           # w_loc
         jnp.sum(d_ball, axis=0, keepdims=True),                           # ball
         jnp.sum(d_v, axis=0, keepdims=True),                              # v
         jnp.einsum("tbv,tb->v", ctx_s, d_mulin, precision=hp)[:, None],  # mu_c
@@ -773,19 +803,17 @@ def fused_core_apply(
     att = params["attention"]
     l1 = params["dec_lstm1"]["w"]
     l2 = params["dec_lstm2"]["w"]
-    w_loc = att["location_layer"]["w"]
-    # combined location conv (models/attention.py:138-157) built OUTSIDE so
-    # its cotangent chains to the original conv/dense params automatically
-    w_comb = jnp.einsum(
-        "kif,fa->ka", att["location_conv"]["w"], w_loc, precision="highest"
-    )
+    w_loc = att["location_layer"]["w"]           # [F, A]
+    w_conv = att["location_conv"]["w"][:, 0]     # [taps, 1, F] -> [taps, F]
+    # the conv bias rides through the dense into one merged energy bias,
+    # built OUTSIDE so its cotangent chains to the original params
     ball = (
         jnp.matmul(att["location_conv"]["b"], w_loc, precision="highest") + att["b"]
     )[None]
     weights = (
         l1[:pre], l1[pre : pre + V], l1[pre + V :], params["dec_lstm1"]["b"][None],
         l2[:u], l2[u:], params["dec_lstm2"]["b"][None],
-        att["query_layer"]["w"], w_comb, ball, att["v"][None],
+        att["query_layer"]["w"], w_conv, w_loc, ball, att["v"][None],
         att["mu_layer"]["w"][:V], att["mu_layer"]["w"][V:], att["mu_layer"]["b"][None],
     )
 
