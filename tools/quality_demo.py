@@ -182,7 +182,7 @@ def heldout_eval(cfg, params, metadata_path: str, mel_dir: str) -> dict:
 
 
 def mcd_from_wavs(wav_pred: np.ndarray, wav_gt: np.ndarray, audio_cfg,
-                  n_coeffs: int = 13) -> float:
+                  n_coeffs: int = 13, floor_db: float = -40.0) -> float:
     """Mel-cepstral distortion (dB) between two waveforms, DTW-free.
 
     The classic MCD: mel-cepstral coefficients are the orthonormal DCT-II of
@@ -190,7 +190,14 @@ def mcd_from_wavs(wav_pred: np.ndarray, wav_gt: np.ndarray, audio_cfg,
     MCD = (10/ln10) * sqrt(2 * sum_{i=1..13} (c_p[i]-c_g[i])^2), averaged
     over frames (c0 — overall energy/gain — excluded).  Both wavs run
     through the SAME mel pipeline (the dB output is converted back to
-    ln-amplitude: ln a = dB * ln10 / 20)."""
+    ln-amplitude: ln a = dB * ln10 / 20).
+
+    Standard MCD practice, both required for a meaningful number: (a) the
+    dynamic range floors at ``floor_db`` — the pipeline's raw -100 dB floor
+    made digital-silence mel bands contribute ~60 dB swings against any
+    generated signal's noise floor, scoring even the Griffin-Lim
+    reconstruction of the TRUE mel at ~113 dB; (b) frames whose
+    ground-truth mean level sits at the floor (silence) are excluded."""
     import jax.numpy as jnp
     from scipy.fftpack import dct as scipy_dct
 
@@ -201,14 +208,18 @@ def mcd_from_wavs(wav_pred: np.ndarray, wav_gt: np.ndarray, audio_cfg,
     db_p = np.asarray(denormalize(pipe.melspectrogram(jnp.asarray(wav_pred[:n])), audio_cfg))
     db_g = np.asarray(denormalize(pipe.melspectrogram(jnp.asarray(wav_gt[:n])), audio_cfg))
     t = min(db_p.shape[0], db_g.shape[0])
-    ln_p = db_p[:t] * (np.log(10.0) / 20.0)
-    ln_g = db_g[:t] * (np.log(10.0) / 20.0)
+    db_p = np.maximum(db_p[:t], floor_db)
+    db_g = np.maximum(db_g[:t], floor_db)
+    voiced = db_g.mean(axis=-1) > floor_db + 5.0
+    if not voiced.any():
+        voiced = np.ones(t, bool)
+    ln_p = db_p * (np.log(10.0) / 20.0)
+    ln_g = db_g * (np.log(10.0) / 20.0)
     c_p = scipy_dct(ln_p, type=2, axis=-1, norm="ortho")
     c_g = scipy_dct(ln_g, type=2, axis=-1, norm="ortho")
     diff = c_p[:, 1 : n_coeffs + 1] - c_g[:, 1 : n_coeffs + 1]
-    return float(np.mean(
-        (10.0 / np.log(10.0)) * np.sqrt(2.0 * np.sum(diff**2, axis=-1))
-    ))
+    per_frame = (10.0 / np.log(10.0)) * np.sqrt(2.0 * np.sum(diff**2, axis=-1))
+    return float(np.mean(per_frame[voiced]))
 
 
 def select_best_checkpoint(cfg, taco_log: str, holdout_meta: str, mel_dir: str,
@@ -245,7 +256,20 @@ def mcd_eval(cfg, taco_params, voc_log: str, holdout_meta: str, mel_dir: str,
     """Held-out text -> (teacher-forced) mel -> trained WaveRNN -> wav,
     scored with MCD against the ground-truth audio (reference quality loop
     is human listening, wavernn_train.py:139-141; this is its objective
-    replacement).  Teacher-forced lengths make the comparison DTW-free."""
+    replacement).  Teacher-forced lengths make the comparison DTW-free.
+
+    Ground truth is the CONDITIONED audio the preprocessor stored
+    (audio-*.npy: trimmed + pre-emphasized + rescaled) — the domain the
+    vocoder was trained in AND frame-aligned with the mel targets; the raw
+    corpus wav differs by the trim offset and spectral tilt.
+
+    The absolute number is corpus-limited: the procedural corpus is pure
+    formant LINES over digital silence, and any mel-domain resynthesis
+    smears a line into its mel band, so even reconstructing the TRUE mel
+    scores high.  The artifact therefore also reports ``mcd_gl_oracle`` —
+    Griffin-Lim resynthesis of the ground-truth mel, scored identically —
+    as the achievable floor; the vocoder's quality signal is its distance
+    to that oracle, not to zero."""
     import jax
     import jax.numpy as jnp
 
@@ -266,9 +290,17 @@ def mcd_eval(cfg, taco_params, voc_log: str, holdout_meta: str, mel_dir: str,
         return {"mcd": None, "note": "no vocoder checkpoint"}
     voc_params = jax.device_get(vstate.params)
 
+    from tacotronv2_wavernn_chinese_tpu.dsp.griffin_lim import (
+        inv_mel_spectrogram,
+        preemphasis_fir,
+    )
+    from tacotronv2_wavernn_chinese_tpu.dsp.spectrogram import MelPipeline
+
+    pipe = MelPipeline(cfg.audio)
     rows = read_metadata(holdout_meta)[:n_max]
     ds = TacotronDataset(rows, mel_dir, cfg)
     mcds = []
+    oracle_mcds = []
     row_idx = 0
     for batch in ds.sequential_batches(4):
         out, _ = T.forward_teacher_forced(
@@ -281,10 +313,10 @@ def mcd_eval(cfg, taco_params, voc_log: str, holdout_meta: str, mel_dir: str,
             src = rows[row_idx]
             row_idx += 1
             Tlen = int(batch.target_lengths[i])
-            # metadata col 0 'audio-XXXXXX.npy' -> corpus 'XXXXXX.wav'
             utt = src[0].rsplit("-", 1)[-1].split(".")[0]
-            gt_path = os.path.join(wav_dir, f"{utt}.wav")
-            if Tlen == 0 or not os.path.exists(gt_path):
+            gt_npy = os.path.join(mel_dir, src[0])
+            gt_wav_path = os.path.join(wav_dir, f"{utt}.wav")
+            if Tlen == 0 or not (os.path.exists(gt_npy) or os.path.exists(gt_wav_path)):
                 continue
             unit = np.asarray(mel_to_unit(mel[i][:Tlen], cfg.audio, xp=np))
             unit = np.clip(unit, 0.0, 1.0)
@@ -292,10 +324,25 @@ def mcd_eval(cfg, taco_params, voc_log: str, holdout_meta: str, mel_dir: str,
                 voc_params, cfg.wavernn, cfg.wavernn_gen, unit,
                 jax.random.PRNGKey(i), cfg.audio.bits,
             )
-            wav_gt = load_wav(gt_path, cfg.audio.sample_rate)
+            if os.path.exists(gt_npy):
+                wav_gt = np.load(gt_npy)
+            else:  # fallback: raw corpus wav (trim/tilt mismatch possible)
+                wav_gt = load_wav(gt_wav_path, cfg.audio.sample_rate)
             mcds.append(mcd_from_wavs(np.asarray(wav_pred), np.asarray(wav_gt), cfg.audio))
-            log(f"mcd[{len(mcds)}] ({utt}): {mcds[-1]:.3f} dB")
-    return {"mcd": float(np.mean(mcds)) if mcds else None, "n_scored": len(mcds)}
+            # oracle: Griffin-Lim resynthesis of the TRUE mel (de-emphasized
+            # by inv_mel_spectrogram; re-emphasize into the gt domain)
+            gt_mel = jnp.asarray(batch.mel_targets[i][:Tlen])
+            wav_o = inv_mel_spectrogram(gt_mel, pipe)
+            wav_o = np.asarray(preemphasis_fir(wav_o, cfg.audio.preemphasis))
+            oracle_mcds.append(mcd_from_wavs(wav_o, np.asarray(wav_gt), cfg.audio))
+            log(f"mcd[{len(mcds)}] ({utt}): {mcds[-1]:.3f} dB "
+                f"(GL oracle {oracle_mcds[-1]:.3f})")
+    return {
+        "mcd": float(np.mean(mcds)) if mcds else None,
+        "mcd_gl_oracle": float(np.mean(oracle_mcds)) if oracle_mcds else None,
+        "floor_db": -40.0,
+        "n_scored": len(mcds),
+    }
 
 
 # ---------------------------------------------------------------------------
