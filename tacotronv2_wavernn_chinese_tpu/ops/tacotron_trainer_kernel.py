@@ -36,24 +36,31 @@ independent custom-vjp instances, so JAX sums their weight cotangents.
 Parity: tests/test_tacotron_trainer_kernel.py checks interpret-mode value
 AND gradient parity against the XLA scan (jax.grad through both paths).
 
-MEASURED STATUS (v5e, B=32, T_out=512, T_in=64): compiles and runs on chip;
-fwd 36.4 ms / fwd+bwd 67.3 ms for the core vs 55.6 ms for the WHOLE
-XLA-scan train step (after round 3's scan optimizations: deferred
-projections + unroll=4).  The kernel does not yet pay for itself, so
-``tacotron_train.fused_decoder`` defaults to "off"; it remains the
-validated substrate for further work.  Findings for the next push:
-  * Mosaic lowers the kernels up to 32 rows (the old 8-row expansion
-    constraint is gone) — but at B=32 the A-width (128-lane) combined
-    location conv's unrolled tap temporaries blow the 16 MB VMEM scoped
-    budget (measured 21.4 MB at stream chunk 4).  Factoring the conv back
-    to F=32 width with an MXU F->A matmul (the inference kernel's layout,
-    ops/tacotron_decoder_kernel.py) cuts those temporaries AND the VPU
-    conv work 4x, and is the identified path to a single-group B=32 core
-    (~4x fewer serial steps than the current 8-row groups).
-  * Per-(8-row-)group per-step cost is ~17.8 us fwd — ~7x the inference
-    kernel's step — dominated by the A-width conv and the 12 save streams;
-    chunk-boundary rematerialization (save carries only at chunk edges,
-    recompute in backward) would cut the streams ~4x.
+MEASURED STATUS (v5e, B=32, T_out=512, T_in=64, whole train step):
+XLA-scan baseline 59.4 ms; fused path 74.7 ms with the F-width conv at
+16-row groups (fwd-only core 32.9 ms).  The kernel still does not pay for
+itself, so ``tacotron_train.fused_decoder`` defaults to "off"; it remains
+the validated substrate (interpret value+grad parity green).  Findings
+from the F-width round:
+  * The conv factoring (combined [taps, A] -> [taps, F] broadcast-MAC +
+    one F->A MXU matmul per subtile) bought only ~10% on the forward
+    (36.4 -> 32.9 ms): per-group-step cost nearly doubles going 8 -> 16
+    rows, i.e. the kernel is VPU-THROUGHPUT-bound on the tap MACs
+    (B*wdt*F*taps multiplies per step), not latency-bound — wider groups
+    don't help until the conv leaves the VPU.
+  * An im2col-staging + MXU-matmul conv measured SLOWER still (82 ms
+    whole-step): the 31 per-lane stores into a [B, wdt, taps] scratch
+    relayout heavily.  A profitable MXU conv needs the im2col to be
+    staged lane-contiguously (e.g. taps on sublanes), which changes the
+    window layout wholesale.
+  * At 16/32-row groups XLA places the streamed [T, B, 4u] gate-adjoint
+    outputs in scoped VMEM and overflows the 16 MB default
+    (raiseable per-jit via compiler_options
+    xla_tpu_scoped_vmem_limit_kib, which the B=32 numbers above used).
+    Accumulating the weight gradients IN-kernel (rank-B MXU updates per
+    step) would remove those two giant streams entirely and is the
+    highest-leverage structural change left, ahead of chunk-boundary
+    rematerialization of the remaining saves.
 """
 
 from __future__ import annotations
@@ -213,6 +220,9 @@ def _fwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
             if d1 < wdt + taps - 1:
                 winS[:, d1 : wdt + taps - 1] = jnp.zeros((B, wdt + taps - 1 - d1), f32)
             winS[:, d0:d1] = cum[:, lo - padl + d0 : lo - padl + d1]
+            # F-width broadcast-MAC conv.  (An im2col-staging + MXU-matmul
+            # variant measured SLOWER — the 31 per-lane stores into a
+            # [B, wdt, taps] scratch relayout heavily; see MEASURED STATUS.)
             f_tile = jnp.zeros((B, wdt, F), f32)
             for j in range(taps):
                 win = winS[:, j : j + wdt]
@@ -531,6 +541,10 @@ def _pad_T(x, T_pad):
 def _specs_for(static):
     (B, T_in, T, chunk, pre, u, V, A, taps, zoneout, use_masks, interpret, dt) = static
     n_chunks = -(-T // chunk)
+    # T_pad = n_chunks*chunk must tile under the backward's fixed chunk of
+    # 8 as well, so round the chunk count up until it does
+    while (n_chunks * chunk) % 8:
+        n_chunks += 1
     full = lambda nd: pl.BlockSpec(memory_space=pltpu.VMEM)
     ck = lambda *shape: pl.BlockSpec((chunk,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM)
     rck = lambda *shape: pl.BlockSpec(
@@ -617,11 +631,12 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
     n_chunks, full, ck, rck = _specs_for(static)
     T_pad = n_chunks * chunk
     # the backward streams ~2x the forward's per-step tensors (saves in,
-    # adjoints out); shrink the chunk so the double-buffered windows fit
-    # VMEM (streams scale with chunk*B).  T_pad stays the FORWARD padding
-    # (the saves' length), so the backward grid is T_pad // chunk.
-    chunk_b = 8 if B <= 8 else 2
-    if chunk > chunk_b and T_pad % chunk_b == 0:
+    # adjoints out); the stream chunk is the VMEM knob (windows scale with
+    # chunk*B).  8 is the floor: the [chunk, B] d_mulin block needs its
+    # sublane dim divisible by 8.  T_pad stays the FORWARD padding (the
+    # saves' length), so the backward grid is T_pad // chunk.
+    chunk_b = 8
+    if chunk != chunk_b and T_pad % chunk_b == 0:
         chunk = chunk_b
     n_chunks = T_pad // chunk
     rck = lambda *shape: pl.BlockSpec(
@@ -820,14 +835,20 @@ def fused_core_apply(
     dt = "bf16" if dtype == jnp.bfloat16 else "f32"
     use_masks = masks is not None
 
-    # Mosaic lowers the kernels up to 32 rows; larger batches run as
-    # sequential 32-row groups.  The stream chunk shrinks with the group
-    # size to keep the double-buffered VMEM windows under budget.
-    group = 32 if B >= 32 else B
+    # Mosaic lowers the kernels up to 32 rows, but the unrolled conv-tap
+    # temporaries put a 32-row body over the 16 MB scoped-VMEM budget even
+    # at F width; 16-row groups fit.  Larger batches run as sequential
+    # groups; the stream chunk shrinks with the group size to keep the
+    # double-buffered windows under budget.
+    group = 16 if B >= 16 else B
     outs = []
     for start in range(0, B, group):
         end = min(start + group, B)
         Bg = end - start
+        # forward stream chunk: the VMEM knob (windows scale with chunk*Bg).
+        # The backward always restreams at chunk 8 (its 2D [chunk, B]
+        # d_mulin block needs a div-8 sublane dim); _fwd_call pads T_pad to
+        # a multiple of 8 so both grids tile it.
         chunk_g = int(chunk) if Bg <= 8 else 4
         static = (
             Bg, T_in, T, chunk_g, pre, u, V, A, taps,
