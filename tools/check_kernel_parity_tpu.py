@@ -143,8 +143,53 @@ def main():
             rows.append(run_mode(f"{name}[kv={kv}]", cfg, p, inputs, lens, rng,
                                  args.max_iters))
 
+    # precision-control baseline: the XLA decode against ITSELF with the
+    # params quantized to bf16 (the kernel stores its weights bf16 in VMEM
+    # by design).  The AR feedback loop compounds any weight rounding into
+    # trajectory drift, and modes with hard thresholds (anti-repeat dwell
+    # counters, stop decisions) amplify it chaotically — this row shows how
+    # much drift weight quantization ALONE produces on the pure-XLA path,
+    # the envelope within which kernel-vs-XLA deltas are precision, not
+    # semantics.  (Interpret-mode tests pin exact per-step math at f32.)
+    from tacotronv2_wavernn_chinese_tpu.models import tacotron as TT2
+
+    def xla_vs_quantized(name, cfg):
+        q = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+            if hasattr(x, "astype") else x, params
+        )
+        B, T_in = inputs.shape
+        memory, _ = TT2.encode(params, cfg, inputs, lens, False, jax.random.PRNGKey(1))
+        memory_q, _ = TT2.encode(q, cfg, inputs, lens, False, jax.random.PRNGKey(1))
+        mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+        dec = jax.jit(lambda p, m, k: TT2.decode_autoregressive(p, cfg, m, mask, k, args.max_iters))
+        fr_a, _, al_a, sl_a = dec(params, memory, rng)
+        fr_b, _, al_b, sl_b = dec(q, memory_q, rng)
+        sl_a, sl_b = np.asarray(sl_a), np.asarray(sl_b)
+        n = max(int(min(sl_a.min(), sl_b.min())), 1)
+        fr_a, fr_b = np.asarray(fr_a)[:, :n], np.asarray(fr_b)[:, :n]
+        al_a, al_b = np.asarray(al_a)[:, :n], np.asarray(al_b)[:, :n]
+        row = {
+            "mode": name, "batch": B, "t_in": T_in, "decoded_frames": n,
+            "max_abs_dmel": float(np.abs(fr_a - fr_b).max()),
+            "align_argmax_agreement": float((al_a.argmax(-1) == al_b.argmax(-1)).mean()),
+            "stop_len_a": [int(x) for x in sl_a], "stop_len_b": [int(x) for x in sl_b],
+            "stop_len_agree": bool((sl_a == sl_b).all()),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+
+    controls = [
+        xla_vs_quantized("CONTROL_xla_f32_vs_xla_bf16wts[forward]", cfg0),
+        xla_vs_quantized(
+            "CONTROL_xla_f32_vs_xla_bf16wts[forward_anti_repeat]",
+            dataclasses.replace(cfg0, anti_repeat=True),
+        ),
+    ]
+
     artifact = {"provenance": provenance, "backend": jax.devices()[0].platform,
-                "device": str(jax.devices()[0]), "rows": rows}
+                "device": str(jax.devices()[0]), "rows": rows,
+                "precision_controls": controls}
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
     bad = [r for r in rows if r["max_abs_dmel"] > 0.05 or r["align_argmax_agreement"] < 0.98]
