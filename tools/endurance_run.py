@@ -155,19 +155,30 @@ def main():
         "corpus": "procedural (reference transcripts, formant audio)"}}
     t_all = time.time()
 
-    # 1. corpus + preprocess (host-side synth, device-batched mels)
+    # 1. corpus + preprocess (host-side synth, device-batched mels).
+    # Both stages are resumable: a completed corpus/feature dir from an
+    # interrupted run is reused as-is.
     from tools.quality_demo import make_corpus
 
     corpus = os.path.join(args.work, "corpus")
+    transcript = os.path.join(corpus, "transcript.txt")
+    wav_dir = os.path.join(corpus, "Wave")
     t0 = time.time()
-    transcript, wav_dir = make_corpus(corpus, args.n_utts)
+    done = (os.path.exists(transcript)
+            and sum(1 for _ in open(transcript)) >= 2 * args.n_utts
+            and len(os.listdir(wav_dir)) >= args.n_utts)
+    if not done:
+        transcript, wav_dir = make_corpus(corpus, args.n_utts)
     report["corpus_synth_s"] = round(time.time() - t0, 1)
     feat = os.path.join(args.work, "training_data")
-    dt = run_cli(["tacotronv2_wavernn_chinese_tpu.data.preprocess",
-                  "--transcript", transcript, "--wav-dir", wav_dir,
-                  "--out-dir", feat], log_path)
-    report["preprocess_s"] = round(dt, 1)
     meta = os.path.join(feat, "train.txt")
+    t0 = time.time()
+    if not (os.path.exists(meta)
+            and sum(1 for _ in open(meta)) >= 0.9 * args.n_utts):
+        run_cli(["tacotronv2_wavernn_chinese_tpu.data.preprocess",
+                 "--transcript", transcript, "--wav-dir", wav_dir,
+                 "--out-dir", feat], log_path)
+    report["preprocess_s"] = round(time.time() - t0, 1)
     n_rows = sum(1 for _ in open(meta))
     report["preprocessed_utts"] = n_rows
 
