@@ -11,6 +11,7 @@ set of compiled shapes instead of recompiling per sentence.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 from typing import Any, Sequence
@@ -89,6 +90,40 @@ class Synthesizer:
 
         self._infer = infer
 
+        # fused decode->Griffin-Lim: the mel never leaves the device (one
+        # dispatch instead of decode + transfer + GL = ~2 RTTs + a mel copy
+        # on the serving path).  Post-stop frames are masked to silence ON
+        # DEVICE so the reconstruction matches the trimmed-mel semantics.
+        def _infer_gl_impl(params, inputs, lens, rng, f):
+            out = T.forward_inference(
+                params, mcfg, inputs, lens, rng, mi, use_pallas_decoder=f
+            )
+            mel = out.mel_outputs  # [B, T_max, 80], static T_max
+            t = jnp.arange(mel.shape[1])[None, :, None]
+            silence = -self.cfg.audio.max_abs_value
+            mel = jnp.where(t < out.stop_lengths[:, None, None], mel, silence)
+            # pad to the same 64-frame bucket convention as mel_to_wav (at
+            # least one frame beyond T_max so stop_len*hop is always within
+            # the reconstruction, whose length is hop*(T_pad-1))
+            T_pad = _round_up(mel.shape[1] + 1, 64)
+            mel = jnp.pad(
+                mel, ((0, 0), (0, T_pad - mel.shape[1]), (0, 0)),
+                constant_values=silence,
+            )
+            wavs = jax.vmap(lambda m: inv_mel_spectrogram(m, self.pipe))(mel)
+            return wavs, out.mel_outputs, out.alignments, out.stop_lengths
+
+        _jit_gl = {
+            flag: jax.jit(functools.partial(_infer_gl_impl, f=flag))
+            for flag in (False, True)
+        }
+
+        def infer_gl(params, inputs, lens, rng):
+            use = kernel_ok and _dk_shape(inputs.shape[0], inputs.shape[1], mcfg)
+            return _jit_gl[use](params, inputs, lens, rng)
+
+        self._infer_gl = infer_gl
+
     @classmethod
     def from_checkpoints(
         cls,
@@ -119,15 +154,15 @@ class Synthesizer:
 
     # -- core ---------------------------------------------------------------
 
-    def mel_from_ids(self, ids_batch: Sequence[Sequence[int]], seed: int = 0):
-        """Padded-batch inference -> list of (mel [T,80], alignment [T,T_in],
-        stop frame count) trimmed per example (reference
-        tacotron_synthesize.py:104-108: trim at the first stop flag)."""
+    @staticmethod
+    def _pad_ids(ids_batch: Sequence[Sequence[int]]):
+        """Pad a token-id batch to (power-of-2 B, 16-multiple T_in) buckets.
+
+        Serving coalesces arbitrary batch sizes 2..max_batch, and every
+        distinct (B, T_in) is a fresh XLA compile (~4 s through the
+        tunnel); padding rows DUPLICATE the last real example so the
+        batch's stop behavior matches real traffic."""
         B = len(ids_batch)
-        # power-of-2 batch buckets: serving coalesces arbitrary batch sizes
-        # 2..max_batch, and every distinct (B, T_in) is a fresh XLA compile
-        # (~4 s through the tunnel); padding rows DUPLICATE the last real
-        # example so the batch's stop behavior matches real traffic
         B_pad = 1 << (B - 1).bit_length()
         padded = list(ids_batch) + [ids_batch[-1]] * (B_pad - B)
         lens = [len(x) for x in padded]
@@ -135,6 +170,14 @@ class Synthesizer:
         inputs = np.zeros((B_pad, T_in), np.int32)
         for i, ids in enumerate(padded):
             inputs[i, : len(ids)] = ids
+        return inputs, lens
+
+    def mel_from_ids(self, ids_batch: Sequence[Sequence[int]], seed: int = 0):
+        """Padded-batch inference -> list of (mel [T,80], alignment [T,T_in],
+        stop frame count) trimmed per example (reference
+        tacotron_synthesize.py:104-108: trim at the first stop flag)."""
+        B = len(ids_batch)
+        inputs, lens = self._pad_ids(ids_batch)
         out = self._infer(
             self.params,
             jnp.asarray(inputs),
@@ -209,14 +252,52 @@ class Synthesizer:
         hop = self.cfg.audio.hop_size
         return [w[: m.shape[0] * hop] for w, m in zip(wavs, mels)]
 
+    def _synth_gl_batch(self, texts: Sequence[str], seed: int = 0):
+        """Fused text->wav for the Griffin-Lim path: ONE device dispatch
+        runs decode AND reconstruction (the mel never round-trips to host
+        between them — the split path paid an extra dispatch RTT plus a
+        mel upload), then each array transfers once in bulk."""
+        pyins, ids = [], []
+        for t in texts:
+            p, _ = get_pyin(t)
+            pyins.append(p)
+            ids.append(self.symbols.encode(p))
+        inputs, lens = self._pad_ids(ids)
+        wavs_d, mels_d, aligns_d, stops_d = self._infer_gl(
+            self.params,
+            jnp.asarray(inputs),
+            jnp.asarray(np.asarray(lens, np.int32)),
+            jax.random.PRNGKey(seed),
+        )
+        stops = np.asarray(stops_d)
+        wav_all = np.asarray(wavs_d)
+        mel_all = np.asarray(mels_d)
+        align_all = np.asarray(aligns_d)
+        hop = self.cfg.audio.hop_size
+        r = self.cfg.tacotron.outputs_per_step
+        results = []
+        for i, (text, pyin) in enumerate(zip(texts, pyins)):
+            n = int(stops[i])
+            results.append({
+                "wav": wav_all[i, : n * hop],
+                "mel": mel_all[i, :n],
+                "alignment": align_all[i, : -(-n // r), : len(ids[i])],
+                "pyin": pyin,
+            })
+        return results
+
     def synthesize(self, text: str, out_dir: str | None = None, seed: int = 0):
         """Full pipeline; optionally writes artifacts like the reference CLI
         (tacotron_synthesize.py:186-197): wav, mel .npy rescaled to [0,1],
         mel + alignment PNGs, filenames keyed by md5(text)."""
-        mel, align, pyin = self.text_to_mel(text, seed=seed)
-        wav = self.mel_to_wav(mel, seed=seed)
-        result = {"wav": wav, "mel": mel, "alignment": align, "pyin": pyin}
+        if self.vocoder_params is None:
+            result = self._synth_gl_batch([text], seed=seed)[0]
+        else:
+            mel, align, pyin = self.text_to_mel(text, seed=seed)
+            wav = self.mel_to_wav(mel, seed=seed)
+            result = {"wav": wav, "mel": mel, "alignment": align, "pyin": pyin}
         if out_dir:
+            wav, mel, align = result["wav"], result["mel"], result["alignment"]
             os.makedirs(out_dir, exist_ok=True)
             name = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
             wavio.save_wav(wav, os.path.join(out_dir, f"wav-{name}.wav"), self.cfg.audio.sample_rate)
@@ -237,29 +318,30 @@ class Synthesizer:
 
         The reference synthesizes batch mels (synthesizer.py:16-143) but
         vocodes one utterance at a time; here the fold axes concatenate so
-        vocoder throughput scales with total batch audio.
+        vocoder throughput scales with total batch audio.  The Griffin-Lim
+        path fuses decode+reconstruction into one dispatch
+        (``_synth_gl_batch``).
         """
+        if self.vocoder_params is None:
+            return self._synth_gl_batch(texts, seed=seed)
         pyins, ids = [], []
         for t in texts:
             p, _ = get_pyin(t)
             pyins.append(p)
             ids.append(self.symbols.encode(p))
         mels, aligns, _ = self.mel_from_ids(ids, seed=seed)
-        if self.vocoder_params is not None:
-            # xp=np: host-side per-utterance rescaling (un-jitted jnp here
-            # would dispatch op-by-op through the device tunnel)
-            units = [S.mel_to_unit(m, self.cfg.audio, xp=np) for m in mels]
-            wavs = W.generate_batch(
-                self.vocoder_params,
-                self.cfg.wavernn,
-                self.cfg.wavernn_gen,
-                units,
-                jax.random.PRNGKey(seed),
-                bits=self.cfg.audio.bits,
-                apply_mu_law=self.cfg.audio.mu_law,
-            )
-        else:
-            wavs = self.mels_to_wavs_gl(mels)
+        # xp=np: host-side per-utterance rescaling (un-jitted jnp here
+        # would dispatch op-by-op through the device tunnel)
+        units = [S.mel_to_unit(m, self.cfg.audio, xp=np) for m in mels]
+        wavs = W.generate_batch(
+            self.vocoder_params,
+            self.cfg.wavernn,
+            self.cfg.wavernn_gen,
+            units,
+            jax.random.PRNGKey(seed),
+            bits=self.cfg.audio.bits,
+            apply_mu_law=self.cfg.audio.mu_law,
+        )
         return [
             {"wav": w, "mel": m, "alignment": a, "pyin": p}
             for w, m, a, p in zip(wavs, mels, aligns, pyins)
