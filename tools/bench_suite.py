@@ -555,6 +555,26 @@ def main() -> None:
     except Exception as e:  # never lose the already-measured rows
         print(f"# tts latency bench skipped: {e}")
 
+    # ---- Griffin-Lim reconstruction (the no-vocoder serving path) ---------
+    # On TPU the 60-iteration loop runs as MXU matmul-DFTs with dense block
+    # overlap-add + associative-scan de-emphasis (dsp/griffin_lim.py); XLA's
+    # TPU FFT lowering took ~0.95 s for the same program.
+    try:
+        from tacotronv2_wavernn_chinese_tpu.dsp.griffin_lim import inv_mel_spectrogram
+
+        pipe_gl = MelPipeline(cfg.audio)
+        gl_jit = jax.jit(lambda m: inv_mel_spectrogram(m, pipe_gl))
+        gl_mel = jnp.asarray(
+            np.random.RandomState(5).uniform(-4, 4, (256, 80)).astype(np.float32)
+        )
+        dt = timed(lambda k: gl_jit(gl_mel + 1e-6 * jax.random.uniform(k, ())), key)
+        gl_audio = 256 * hop / sr
+        emit("griffin_lim_reconstruction_ms", dt * 1000.0, "ms", frames=256,
+             iters=cfg.audio.griffin_lim_iters, audio_seconds=round(gl_audio, 2),
+             x_realtime=round(gl_audio / dt, 2))
+    except Exception as e:
+        print(f"# griffin-lim bench skipped: {e}")
+
     out = "bench_suite_results.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
