@@ -35,6 +35,31 @@ from ..utils.plot import plot_alignment, plot_spectrogram
 from ..utils import round_up as _round_up
 
 
+def _seed_list(seed, n: int) -> list[int]:
+    """Normalize a scalar seed or per-example seed sequence to a list[n]."""
+    if isinstance(seed, (int, np.integer)):
+        return [int(seed)] * n
+    seeds = [int(s) for s in seed]
+    if len(seeds) != n:
+        raise ValueError(f"got {len(seeds)} seeds for {n} examples")
+    return seeds
+
+
+def _keys_from_seeds(seeds: Sequence[int]) -> np.ndarray:
+    """Per-example PRNG keys [B, 2] built HOST-side.
+
+    Matches ``jax.random.PRNGKey(seed)``'s threefry2x32 layout (hi, lo
+    words) without issuing B device ops — through the axon tunnel each
+    device op costs ~25 ms, so building keys with jnp would dominate a
+    serving batch.  tests/test_pipeline_e2e.py pins equality against
+    ``jax.random.PRNGKey``."""
+    a = np.asarray(list(seeds), np.uint64)
+    return np.stack(
+        [(a >> np.uint64(32)).astype(np.uint32), (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
+        axis=-1,
+    )
+
+
 class Synthesizer:
     """Loads acoustic (and optionally vocoder) params and synthesizes speech.
 
@@ -155,15 +180,19 @@ class Synthesizer:
     # -- core ---------------------------------------------------------------
 
     @staticmethod
-    def _pad_ids(ids_batch: Sequence[Sequence[int]]):
-        """Pad a token-id batch to (power-of-2 B, 16-multiple T_in) buckets.
+    def _pad_ids(ids_batch: Sequence[Sequence[int]], pad_batch: bool = False):
+        """Pad a token-id batch to a 16-multiple T_in (and, with
+        ``pad_batch``, a power-of-2 batch size).
 
-        Serving coalesces arbitrary batch sizes 2..max_batch, and every
-        distinct (B, T_in) is a fresh XLA compile (~4 s through the
-        tunnel); padding rows DUPLICATE the last real example so the
-        batch's stop behavior matches real traffic."""
+        ``pad_batch`` is the SERVING knob: the coalescer produces arbitrary
+        batch sizes 2..max_batch and every distinct (B, T_in) is a fresh
+        XLA compile (~4 s through the tunnel), so padding B to powers of 2
+        bounds the compile count.  Offline callers (eval/GTA) keep their
+        exact B — a batch of 9 should not silently decode 16 rows.  Padding
+        rows DUPLICATE the last real example so the batch's stop behavior
+        matches real traffic."""
         B = len(ids_batch)
-        B_pad = 1 << (B - 1).bit_length()
+        B_pad = (1 << (B - 1).bit_length()) if pad_batch else B
         padded = list(ids_batch) + [ids_batch[-1]] * (B_pad - B)
         lens = [len(x) for x in padded]
         T_in = _round_up(max(lens), 16)
@@ -172,17 +201,29 @@ class Synthesizer:
             inputs[i, : len(ids)] = ids
         return inputs, lens
 
-    def mel_from_ids(self, ids_batch: Sequence[Sequence[int]], seed: int = 0):
+    def mel_from_ids(
+        self,
+        ids_batch: Sequence[Sequence[int]],
+        seed: int | Sequence[int] = 0,
+        pad_batch: bool = False,
+    ):
         """Padded-batch inference -> list of (mel [T,80], alignment [T,T_in],
         stop frame count) trimmed per example (reference
-        tacotron_synthesize.py:104-108: trim at the first stop flag)."""
+        tacotron_synthesize.py:104-108: trim at the first stop flag).
+
+        ``seed`` may be one int (every row uses that stream) or one int per
+        example: each row's decode noise derives ONLY from its own seed, so
+        the serving coalescer can batch requests with distinct seeds and
+        every request stays reproducible."""
         B = len(ids_batch)
-        inputs, lens = self._pad_ids(ids_batch)
+        seeds = _seed_list(seed, B)
+        inputs, lens = self._pad_ids(ids_batch, pad_batch)
+        keys = _keys_from_seeds(seeds + [seeds[-1]] * (inputs.shape[0] - B))
         out = self._infer(
             self.params,
             jnp.asarray(inputs),
             jnp.asarray(np.asarray(lens, np.int32)),
-            jax.random.PRNGKey(seed),
+            jnp.asarray(keys),
         )
         mels, aligns, stops = [], [], []
         # ONE device->host transfer per array: slicing out.mel_outputs[i]
@@ -224,7 +265,9 @@ class Synthesizer:
                 apply_mu_law=self.cfg.audio.mu_law,
             )
         T = mel.shape[0]
-        T_pad = _round_up(max(T, 64), 64)
+        # +1 frame: the reconstruction is hop*(T_pad-1) samples, so an
+        # exact-64-multiple T needs the next bucket to cover T*hop
+        T_pad = _round_up(max(T + 1, 64), 64)
         pad_val = -self.cfg.audio.max_abs_value  # silence
         mel_p = np.pad(mel, ((0, T_pad - T), (0, 0)), constant_values=pad_val)
         # ONE jitted dispatch for the whole mel->linear->Griffin-Lim->
@@ -241,7 +284,10 @@ class Synthesizer:
         init); examples shorter than the batch max see a different padded
         length, which only perturbs the random phase draw."""
         T_max = max(m.shape[0] for m in mels)
-        T_pad = _round_up(max(T_max, 64), 64)
+        # +1 frame like _infer_gl_impl: the reconstruction is hop*(T_pad-1)
+        # samples, so an exact-64-multiple T_max would otherwise come back
+        # one hop short of the T_max*hop trim below
+        T_pad = _round_up(max(T_max + 1, 64), 64)
         pad_val = -self.cfg.audio.max_abs_value  # silence
         B = len(mels)
         B_pad = 1 << (B - 1).bit_length()  # power-of-2 batch buckets
@@ -252,22 +298,30 @@ class Synthesizer:
         hop = self.cfg.audio.hop_size
         return [w[: m.shape[0] * hop] for w, m in zip(wavs, mels)]
 
-    def _synth_gl_batch(self, texts: Sequence[str], seed: int = 0):
+    def _synth_gl_batch(
+        self,
+        texts: Sequence[str],
+        seed: int | Sequence[int] = 0,
+        pad_batch: bool = False,
+    ):
         """Fused text->wav for the Griffin-Lim path: ONE device dispatch
         runs decode AND reconstruction (the mel never round-trips to host
         between them — the split path paid an extra dispatch RTT plus a
-        mel upload), then each array transfers once in bulk."""
+        mel upload), then each array transfers once in bulk.  ``seed`` may
+        be per-example (see ``mel_from_ids``)."""
         pyins, ids = [], []
         for t in texts:
             p, _ = get_pyin(t)
             pyins.append(p)
             ids.append(self.symbols.encode(p))
-        inputs, lens = self._pad_ids(ids)
+        seeds = _seed_list(seed, len(texts))
+        inputs, lens = self._pad_ids(ids, pad_batch)
+        keys = _keys_from_seeds(seeds + [seeds[-1]] * (inputs.shape[0] - len(texts)))
         wavs_d, mels_d, aligns_d, stops_d = self._infer_gl(
             self.params,
             jnp.asarray(inputs),
             jnp.asarray(np.asarray(lens, np.int32)),
-            jax.random.PRNGKey(seed),
+            jnp.asarray(keys),
         )
         stops = np.asarray(stops_d)
         wav_all = np.asarray(wavs_d)
@@ -311,7 +365,12 @@ class Synthesizer:
             }
         return result
 
-    def synthesize_batch(self, texts: Sequence[str], seed: int = 0):
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        seed: int | Sequence[int] = 0,
+        pad_batch: bool = False,
+    ):
         """Batched pipeline: ONE padded acoustic decode for all texts, then
         ONE fused vocoder call over all utterances' folds
         (models/wavernn.py generate_batch).  Returns a list of result dicts.
@@ -321,15 +380,24 @@ class Synthesizer:
         vocoder throughput scales with total batch audio.  The Griffin-Lim
         path fuses decode+reconstruction into one dispatch
         (``_synth_gl_batch``).
+
+        ``seed`` may be one int or one per text: the acoustic decode is
+        reproducible per example regardless of co-batching (per-example
+        PRNG keys end-to-end).  The WaveRNN sampling noise is drawn from
+        the first seed's stream over the concatenated fold batch — the
+        category-sampling dither, not the prosody-bearing randomness.
+        ``pad_batch`` pads B to a power of 2 (serving compile-count bound;
+        offline callers keep exact B).
         """
         if self.vocoder_params is None:
-            return self._synth_gl_batch(texts, seed=seed)
+            return self._synth_gl_batch(texts, seed=seed, pad_batch=pad_batch)
         pyins, ids = [], []
         for t in texts:
             p, _ = get_pyin(t)
             pyins.append(p)
             ids.append(self.symbols.encode(p))
-        mels, aligns, _ = self.mel_from_ids(ids, seed=seed)
+        seeds = _seed_list(seed, len(texts))
+        mels, aligns, _ = self.mel_from_ids(ids, seed=seeds, pad_batch=pad_batch)
         # xp=np: host-side per-utterance rescaling (un-jitted jnp here
         # would dispatch op-by-op through the device tunnel)
         units = [S.mel_to_unit(m, self.cfg.audio, xp=np) for m in mels]
@@ -338,7 +406,7 @@ class Synthesizer:
             self.cfg.wavernn,
             self.cfg.wavernn_gen,
             units,
-            jax.random.PRNGKey(seed),
+            jax.random.PRNGKey(seeds[0]),
             bits=self.cfg.audio.bits,
             apply_mu_law=self.cfg.audio.mu_law,
         )

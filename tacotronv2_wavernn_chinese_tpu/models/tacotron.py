@@ -202,6 +202,18 @@ def step_rand_from_key(
     return StepRand(pre, z1, z2, att)
 
 
+def is_per_example_keys(rng: jax.Array) -> bool:
+    """True when ``rng`` is a [B]-shaped array of per-example PRNG keys
+    (typed keys with ndim 1, or raw uint32 key data with ndim 2) rather
+    than one key shared by the whole batch.  Per-example keys make each
+    row's random stream a function of its OWN key only, so serving can
+    coalesce requests with distinct seeds into one batch without any
+    request's output depending on what it was co-batched with."""
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        return rng.ndim == 1
+    return rng.ndim == 2
+
+
 def decoder_step(
     params: Params,
     cfg: TacotronModelConfig,
@@ -439,9 +451,25 @@ def decode_autoregressive(
     # always-on prenet dropout draws), indexed by t inside the body — the
     # same fold_in(rng, t) derivation, so masks are bit-identical to
     # drawing in place.  [T, B, size] bools are tiny (T<=max_iters 2000).
-    rands_all = jax.vmap(
-        lambda k: step_rand_from_key(params, cfg, k, B, False)
-    )(jax.vmap(lambda t: jax.random.fold_in(rng, t))(jnp.arange(T)))
+    if is_per_example_keys(rng):
+        # [B] per-example keys: row i's masks derive ONLY from rng[i]
+        # (fold_in t, then the historical batch=1 step derivation), so a
+        # request's decode is reproducible regardless of which rows it was
+        # coalesced with (serving: distinct-seed traffic batches freely).
+        def _row_rands(k):
+            return jax.vmap(
+                lambda t: step_rand_from_key(
+                    params, cfg, jax.random.fold_in(k, t), 1, False
+                )
+            )(jnp.arange(T))
+
+        rands_all = jax.tree_util.tree_map(
+            lambda m: jnp.swapaxes(m[:, :, 0], 0, 1), jax.vmap(_row_rands)(rng)
+        )
+    else:
+        rands_all = jax.vmap(
+            lambda k: step_rand_from_key(params, cfg, k, B, False)
+        )(jax.vmap(lambda t: jax.random.fold_in(rng, t))(jnp.arange(T)))
 
     def cond(loop):
         t, _, _, _, _, _, finished, _ = loop
@@ -588,8 +616,19 @@ def forward_inference(
     loop through the fused VMEM-resident kernel
     (ops/tacotron_decoder_kernel.py: 1.7 us/step vs 20.6 us/step for the
     XLA while_loop on v5e, B=1) — only valid for configs the kernel
-    supports."""
-    k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
+    supports.
+
+    ``rng`` may be one key (shared-batch streams, the historical behavior)
+    or a [B]-array of per-example keys (``is_per_example_keys``): then the
+    decode dropout stream of row i depends only on ``rng[i]``, making each
+    example reproducible under any batch coalescing.  Inference randomness
+    is the always-on prenet dropout only (encoder/postnet run eval-mode)."""
+    if is_per_example_keys(rng):
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(rng)  # [B, 4, ...]
+        k_enc, k_post, k_cbhg = ks[0][0], ks[0][2], ks[0][3]
+        k_dec = ks[:, 1]  # [B] per-example decode keys
+    else:
+        k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
     memory, _ = encode(params, cfg, inputs, input_lengths, False, k_enc)
     mem_mask = (jnp.arange(inputs.shape[1])[None, :] < input_lengths[:, None]).astype(jnp.float32)
     if use_pallas_decoder:

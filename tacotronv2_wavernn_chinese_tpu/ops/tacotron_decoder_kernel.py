@@ -226,7 +226,7 @@ def _lstm_eval(gates, c, h, zoneout):
 
 
 def _kernel(
-    seed_ref,  # scalar prefetch [1] int32
+    seed_ref,  # scalar prefetch [B] int32 — one dropout seed PER ROW
     keys_ref,  # [B, T_in, A]
     values_ref,  # [B, T_in, V]
     mask_ref,  # [B, T_in] f32 1/0
@@ -277,13 +277,25 @@ def _kernel(
         maxattS[:] = jnp.zeros_like(maxattS)
         posrecS[:] = jnp.zeros_like(posrecS)
 
-    if drop_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # prenet dropout widths (the only in-kernel randomness): both layers'
+    # bits for one step are drawn in ONE [1, p1+p2] draw per row
+    p1 = W["pre_w1"].shape[-1]
+    p2 = W["pre_w2"].shape[-1]
 
-    def dropout(x):
+    def draw_step_bits(step_g):
+        """Per-ROW dropout bits for one decode step: row i is seeded by
+        (seed_ref[i], step) only, so its noise stream is independent of the
+        co-batched rows — requests with distinct seeds coalesce into one
+        kernel batch and stay individually reproducible."""
+        rows = []
+        for i in range(B):
+            pltpu.prng_seed(seed_ref[i], step_g)
+            rows.append(pltpu.prng_random_bits((1, p1 + p2)))
+        return pltpu.bitcast(jnp.concatenate(rows, axis=0), jnp.uint32)
+
+    def dropout(x, bits):
         if drop_rate <= 0.0:
             return x
-        bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
         # keep with prob (1-rate): uniform bits < (1-rate) * 2^32
         thresh = jnp.uint32(int((1.0 - drop_rate) * 4294967295.0))
         keep = bits < thresh
@@ -311,8 +323,18 @@ def _kernel(
             mask = mask_ref[:]
 
             # prenet (always-on dropout, modules.py:220-251)
-            p = dropout(jnp.maximum(mm(prev, "pre_w1") + W["pre_b1"][:].astype(f32), 0.0))
-            p = dropout(jnp.maximum(mm(p, "pre_w2") + W["pre_b2"][:].astype(f32), 0.0))
+            if drop_rate > 0.0:
+                bits = draw_step_bits(pl.program_id(0) * chunk + s)
+            else:
+                bits = None
+            p = dropout(
+                jnp.maximum(mm(prev, "pre_w1") + W["pre_b1"][:].astype(f32), 0.0),
+                None if bits is None else bits[:, :p1],
+            )
+            p = dropout(
+                jnp.maximum(mm(p, "pre_w2") + W["pre_b2"][:].astype(f32), 0.0),
+                None if bits is None else bits[:, p1 : p1 + p2],
+            )
 
             if ablate == "nornn":
                 # keep a tiny prenet contribution so DCE can't drop the
@@ -624,22 +646,33 @@ def decode_autoregressive_pallas(
     are always f32 when ``dtype`` itself is f32 (the parity-test mode)."""
     from ..models import attention as ATT
 
+    from ..models.tacotron import is_per_example_keys
+
     B, T_in, V = memory.shape
+    per_row_keys = is_per_example_keys(rng)
+    if per_row_keys and jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        rng = jax.random.key_data(rng)  # raw [B, 2]: slice/repeat-friendly
     if B > 8:
         outs = []
         for start in range(0, B, 8):
             mem_g = memory[start : start + 8]
             mask_g = mem_mask[start : start + 8]
             pad = 8 - mem_g.shape[0]
+            rng_g = (
+                rng[start : start + 8] if per_row_keys
+                else jax.random.fold_in(rng, start)
+            )
             if pad:
                 # pad by repeating a real example (not zeros): zero-memory rows
                 # never fire the stop token, which would defeat the kernel's
                 # all-done early exit and pin the last group at max_iters
                 mem_g = jnp.concatenate([mem_g, jnp.repeat(mem_g[-1:], pad, 0)], 0)
                 mask_g = jnp.concatenate([mask_g, jnp.repeat(mask_g[-1:], pad, 0)], 0)
+                if per_row_keys:
+                    rng_g = jnp.concatenate([rng_g, jnp.repeat(rng_g[-1:], pad, 0)], 0)
             outs.append(
                 decode_autoregressive_pallas(
-                    params, cfg, mem_g, mask_g, jax.random.fold_in(rng, start),
+                    params, cfg, mem_g, mask_g, rng_g,
                     max_iters, chunk, interpret, dtype, ablate,
                 )
             )
@@ -674,7 +707,17 @@ def decode_autoregressive_pallas(
 
     from . import kernel_seed
 
-    seed = kernel_seed(rng)
+    # [B] per-ROW seeds: row i's on-chip dropout stream is seeded by
+    # (seed[i], global step) only, so an example's decode noise does not
+    # depend on what it was co-batched with (serving coalesces distinct-seed
+    # requests into one kernel batch).  A single shared key is expanded via
+    # the same fold_in(key, i) row derivation for determinism either way.
+    if per_row_keys:
+        seeds = jax.vmap(lambda k: kernel_seed(k)[0])(rng).astype(jnp.int32)
+    else:
+        seeds = jax.vmap(
+            lambda i: kernel_seed(jax.random.fold_in(rng, i))[0]
+        )(jnp.arange(B)).astype(jnp.int32)
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i, s: (0,) * a.ndim, memory_space=pltpu.VMEM)
     cfg_static = (
@@ -739,7 +782,7 @@ def decode_autoregressive_pallas(
             jax.ShapeDtypeStruct((T_pad, B, T_in), jnp.float32),
         ],
         interpret=interpret,
-    )(seed, keys, memory_kv, mem_mask, *[w[k] for k in WEIGHT_ORDER])
+    )(seeds, keys, memory_kv, mem_mask, *[w[k] for k in WEIGHT_ORDER])
 
     frames = jnp.swapaxes(frames[:max_iters], 0, 1)  # [B, T, M*r]
     stops = jnp.swapaxes(stops[:max_iters], 0, 1)  # [B, T] or [B, T, r]

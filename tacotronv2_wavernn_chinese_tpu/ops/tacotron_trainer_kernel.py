@@ -77,8 +77,6 @@ from ..config import TacotronModelConfig
 
 Params = Dict[str, Any]
 
-DEBUG_SKIP: tuple = ()  # temporary bisect hook; empty in production
-
 
 def train_supported(cfg: TacotronModelConfig) -> bool:
     return (
@@ -419,18 +417,16 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
             )
             d_e_t = d_e[:, lo : lo + wdt]
             d_th = d_e_t[..., None] * v_vec[None] * (1.0 - th * th)  # [B, wdt, A]
-            if "dv" not in DEBUG_SKIP:
-                # per-example [B, A] partials; the cross-example reduction
-                # happens outside the kernel (a [1, A] write here would need
-                # a sublane-replicated relayout Mosaic rejects)
-                accs["d_v"][:, :] = accs["d_v"][:, :] + jnp.sum(
-                    th * d_e_t[..., None], axis=1
-                )
-                accs["d_ball"][:, :] = accs["d_ball"][:, :] + jnp.sum(d_th, axis=1)
-            if "dkeys" not in DEBUG_SKIP:
-                accs["d_keys"][:, lo : lo + wdt, :] = (
-                    accs["d_keys"][:, lo : lo + wdt, :] + d_th
-                )
+            # per-example [B, A] partials; the cross-example reduction
+            # happens outside the kernel (a [1, A] write here would need
+            # a sublane-replicated relayout Mosaic rejects)
+            accs["d_v"][:, :] = accs["d_v"][:, :] + jnp.sum(
+                th * d_e_t[..., None], axis=1
+            )
+            accs["d_ball"][:, :] = accs["d_ball"][:, :] + jnp.sum(d_th, axis=1)
+            accs["d_keys"][:, lo : lo + wdt, :] = (
+                accs["d_keys"][:, lo : lo + wdt, :] + d_th
+            )
             d_q_acc = d_q_acc + jnp.sum(d_th, axis=1)
             d2 = d_th.reshape(B * wdt, A)
             # loc enters the tanh argument additively, so d_loc = d_th;
@@ -439,24 +435,22 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
                 d2, W["w_loc"][:], (((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
             )
-            if "adiag" not in DEBUG_SKIP:
-                # conv transpose -> d_cum (anti-diagonal accumulate), F width
-                G = jax.lax.dot_general(
-                    d_f, conv_w, (((1,), (1,)), ((), ())), preferred_element_type=f32
-                ).reshape(B, wdt, taps)
-                for j in range(taps):
-                    g_j = G[:, :, j]  # [B, wdt]
-                    dcumP[:, lo + j : lo + j + wdt] = dcumP[:, lo + j : lo + j + wdt] + g_j
-            if "wcomb" not in DEBUG_SKIP:
-                # conv-kernel gradient: im2col^T x d_f  [taps, F]
-                accs["d_conv"][:] = accs["d_conv"][:] + jax.lax.dot_general(
-                    wS[:, :wdt, :].reshape(B * wdt, taps), d_f,
-                    (((0,), (0,)), ((), ())), preferred_element_type=f32,
-                )
-                # location-dense gradient: f_tile^T x d_th  [F, A]
-                accs["d_wloc"][:] = accs["d_wloc"][:] + jax.lax.dot_general(
-                    f2, d2, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-                )
+            # conv transpose -> d_cum (anti-diagonal accumulate), F width
+            G = jax.lax.dot_general(
+                d_f, conv_w, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ).reshape(B, wdt, taps)
+            for j in range(taps):
+                g_j = G[:, :, j]  # [B, wdt]
+                dcumP[:, lo + j : lo + j + wdt] = dcumP[:, lo + j : lo + j + wdt] + g_j
+            # conv-kernel gradient: im2col^T x d_f  [taps, F]
+            accs["d_conv"][:] = accs["d_conv"][:] + jax.lax.dot_general(
+                wS[:, :wdt, :].reshape(B * wdt, taps), d_f,
+                (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+            # location-dense gradient: f_tile^T x d_th  [F, A]
+            accs["d_wloc"][:] = accs["d_wloc"][:] + jax.lax.dot_general(
+                f2, d2, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            )
         # dcumP index = tau + padl; valid tau in [0, T_in).  cum_{t-1} gets
         # BOTH the identity pass-through of cum_t's adjoint (through
         # cum_t = cum_{t-1} + align_sm_t) and the conv-transpose term.

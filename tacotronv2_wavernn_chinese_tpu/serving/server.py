@@ -112,6 +112,8 @@ def alignment_to_base64_png(alignment: np.ndarray) -> str:
     Pure-numpy viridis-like colormap + tiny PNG writer — thread-safe and
     ~70x faster per request than the matplotlib path."""
     a = np.asarray(alignment, np.float32)
+    if a.size == 0:  # stop fired at frame 0 -> empty [0, T_in] slice
+        return ""
     a = a / max(float(a.max()), 1e-9)
     # upscale (decoder steps x encoder pos) -> a readable image
     reps_y = max(1, 320 // max(a.shape[1], 1))
@@ -128,6 +130,14 @@ def alignment_to_base64_png(alignment: np.ndarray) -> str:
     ).decode("ascii")
 
 
+class OverloadedError(RuntimeError):
+    """Raised when the admission queue is full; maps to HTTP 503."""
+
+    def __init__(self, retry_after_s: float):
+        super().__init__("server overloaded, queue full")
+        self.retry_after_s = retry_after_s
+
+
 class TTSService:
     """Holds the synthesizer; adaptively micro-batches device access.
 
@@ -136,47 +146,58 @@ class TTSService:
     decode + fused vocoder over all utterances' folds) instead of queueing
     serially behind a lock — the classic adaptive-batching server loop.
     The first request in an idle server runs immediately (no added
-    latency); only same-seed requests coalesce so per-request ``seed``
-    stays reproducible.
+    latency).  Requests with DISTINCT seeds coalesce too: the synthesizer
+    threads per-example PRNG keys end-to-end, so each request's output
+    depends only on its own (text, seed), never on its co-batch.
+
+    Admission control: at most ``max_queue`` requests may wait (the
+    reference fronted its model with TF Serving's bounded batch queue,
+    website/README.md); beyond that ``generate`` raises ``OverloadedError``
+    which the HTTP layer maps to 503 + Retry-After — bounded p95 instead of
+    unbounded queue growth under overload.
     """
 
-    def __init__(self, cfg: Config, synthesizer, max_batch: int = 8):
+    def __init__(self, cfg: Config, synthesizer, max_batch: int = 8, max_queue: int = 32):
         self.cfg = cfg
         self.synth = synthesizer
         self.max_batch = max_batch
+        self.max_queue = max_queue
         self._mutex = threading.Lock()  # guards the queue + counters
         self._device = threading.Lock()  # serializes device access (leader)
         self._queue: list[dict] = []
         self.n_requests = 0
         self.n_device_calls = 0
+        self.n_rejected = 0
+        # EMA of seconds per coalesced device call — the Retry-After hint
+        self._batch_s_ema = 0.5
 
     # -- adaptive micro-batching ---------------------------------------------
 
     def _take_batch(self) -> list[dict]:
-        """Pop the longest same-seed FIFO prefix (<= max_batch)."""
+        """Pop the FIFO prefix (<= max_batch).  Per-example PRNG keys mean
+        any seed mix batches together (round 3 measured 2.4x throughput
+        loss from the old same-seed-prefix rule under distinct-seed
+        traffic)."""
         with self._mutex:
-            if not self._queue:
-                return []
-            seed = self._queue[0]["seed"]
-            n = 1
-            while (
-                n < len(self._queue)
-                and n < self.max_batch
-                and self._queue[n]["seed"] == seed
-            ):
-                n += 1
-            batch, self._queue = self._queue[:n], self._queue[n:]
+            batch, self._queue = (
+                self._queue[: self.max_batch],
+                self._queue[self.max_batch :],
+            )
             return batch
 
     def _run_batch(self, batch: list[dict]) -> None:
+        t0 = time.time()
         try:
             if len(batch) == 1:
                 results = [self.synth.synthesize(batch[0]["text"], seed=batch[0]["seed"])]
             else:
                 results = self.synth.synthesize_batch(
-                    [i["text"] for i in batch], seed=batch[0]["seed"]
+                    [i["text"] for i in batch],
+                    seed=[i["seed"] for i in batch],
+                    pad_batch=True,
                 )
             with self._mutex:
+                self._batch_s_ema = 0.7 * self._batch_s_ema + 0.3 * (time.time() - t0)
                 self.n_device_calls += 1
                 self.n_requests += len(batch)
             for item, r in zip(batch, results):
@@ -210,6 +231,11 @@ class TTSService:
             "error": None,
         }
         with self._mutex:
+            if len(self._queue) >= self.max_queue:
+                self.n_rejected += 1
+                # hint: time to drain the queued batches at the current rate
+                waves = -(-len(self._queue) // max(self.max_batch, 1))
+                raise OverloadedError(round(max(0.1, waves * self._batch_s_ema), 1))
             self._queue.append(item)
         # re-pump on timeout: covers the race where the leader released the
         # device just before our item hit the queue
@@ -263,11 +289,13 @@ def make_handler(service: TTSService):
         def log_message(self, fmt, *args):  # route to infolog, not stderr
             infolog.log(f"http: {fmt % args}")
 
-        def _json(self, code: int, payload: dict):
+        def _json(self, code: int, payload: dict, headers: dict | None = None):
             body = json.dumps(payload).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -286,7 +314,9 @@ def make_handler(service: TTSService):
                         "status": "ok",
                         "requests": service.n_requests,
                         "device_calls": service.n_device_calls,
+                        "rejected": service.n_rejected,
                         "max_batch": service.max_batch,
+                        "max_queue": service.max_queue,
                         "vocoder": "wavernn" if service.synth.vocoder_params is not None else "griffin_lim",
                     },
                 )
@@ -328,6 +358,14 @@ def make_handler(service: TTSService):
                     self._json(400, {"status": 1, "error": "text too long (max 500 chars)"})
                     return
                 self._json(200, service.generate(text, seed=int(req.get("seed", 0))))
+            except OverloadedError as e:
+                # bounded-queue admission control (TF Serving's role in the
+                # reference deployment): shed load instead of queueing
+                self._json(
+                    503,
+                    {"status": 1, "error": "overloaded", "retry_after_s": e.retry_after_s},
+                    headers={"Retry-After": str(max(1, int(round(e.retry_after_s))))},
+                )
             except json.JSONDecodeError:
                 self._json(400, {"status": 1, "error": "invalid JSON body"})
             except Exception as e:  # noqa: BLE001 - surface synthesis errors to client
@@ -336,8 +374,15 @@ def make_handler(service: TTSService):
     return Handler
 
 
-def serve(cfg: Config, synthesizer, host: str = "0.0.0.0", port: int = 8500, max_batch: int = 8):
-    service = TTSService(cfg, synthesizer, max_batch=max_batch)
+def serve(
+    cfg: Config,
+    synthesizer,
+    host: str = "0.0.0.0",
+    port: int = 8500,
+    max_batch: int = 8,
+    max_queue: int = 32,
+):
+    service = TTSService(cfg, synthesizer, max_batch=max_batch, max_queue=max_queue)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     infolog.log(f"TTS server on http://{host}:{port} (POST /generate_tts)")
     return httpd
@@ -356,6 +401,10 @@ def main() -> None:
         "--max-batch", type=int, default=8,
         help="max concurrent /generate_tts requests coalesced into one device batch",
     )
+    ap.add_argument(
+        "--max-queue", type=int, default=32,
+        help="admission-control queue bound; requests beyond it get 503 + Retry-After",
+    )
     ap.add_argument("--override", default="")
     args = ap.parse_args()
 
@@ -368,7 +417,10 @@ def main() -> None:
     # warm the jit cache so the first request doesn't pay compile time
     infolog.log("warming up...")
     synth.synthesize("你好。")
-    serve(cfg, synth, args.host, args.port, max_batch=args.max_batch).serve_forever()
+    serve(
+        cfg, synth, args.host, args.port,
+        max_batch=args.max_batch, max_queue=args.max_queue,
+    ).serve_forever()
 
 
 if __name__ == "__main__":

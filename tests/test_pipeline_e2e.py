@@ -155,6 +155,39 @@ def test_synthesize_batch_griffin_lim(taco_state):
     np.testing.assert_allclose(w2[1], w1, atol=1e-5)
 
 
+def test_per_example_seed_reproducibility(taco_state):
+    """A request's decode depends ONLY on its own (text, seed): coalescing
+    it with different-seed rows, reordering the batch, or padding B must
+    not change its mel (what lets serving batch distinct-seed traffic)."""
+    from tacotronv2_wavernn_chinese_tpu.infer.synthesizer import _keys_from_seeds
+
+    # the host-built keys must BE jax.random.PRNGKey's layout
+    np.testing.assert_array_equal(
+        _keys_from_seeds([0, 7, 123456789])[1], np.asarray(jax.random.PRNGKey(7))
+    )
+    params = dict(
+        taco_state.params,
+        stop_projection=jax.tree.map(
+            lambda x: x - 20.0 if x.ndim == 1 else x,
+            dict(taco_state.params["stop_projection"]),
+        ),
+    )
+    synth = Synthesizer(CFG, params, max_iters=24)
+    ids = synth.symbols.encode("n i3 h ao3 。")
+    ids2 = synth.symbols.encode("j in1 t ian1 。")
+    solo, _, _ = synth.mel_from_ids([ids], seed=[7])
+    mixed, _, _ = synth.mel_from_ids([ids2, ids, ids2], seed=[0, 7, 3])
+    np.testing.assert_allclose(mixed[1], solo[0], atol=1e-5)
+    # padded-batch bucketing (serving) must agree too: same row, B 3 -> 4
+    padded, _, _ = synth.mel_from_ids(
+        [ids2, ids, ids2], seed=[0, 7, 3], pad_batch=True
+    )
+    np.testing.assert_allclose(padded[1], mixed[1], atol=1e-5)
+    # and a scalar seed still means "every row uses that stream"
+    s_scalar, _, _ = synth.mel_from_ids([ids], seed=7)
+    np.testing.assert_allclose(s_scalar[0], solo[0], atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def gta_dir(taco_state, training_data, tmp_path_factory):
     out = tmp_path_factory.mktemp("gta_e2e")

@@ -169,6 +169,7 @@ class _StubSynth:
         self._t = _t
         self.delay = delay
         self.batch_sizes = []
+        self.seen_seeds = []
 
     def _result(self, text):
         return {
@@ -181,11 +182,13 @@ class _StubSynth:
     def synthesize(self, text, seed=0, out_dir=None):
         self._t.sleep(self.delay)
         self.batch_sizes.append(1)
+        self.seen_seeds.append(seed)
         return self._result(text)
 
-    def synthesize_batch(self, texts, seed=0):
+    def synthesize_batch(self, texts, seed=0, pad_batch=False):
         self._t.sleep(self.delay)
         self.batch_sizes.append(len(texts))
+        self.seen_seeds.append(seed)
         return [self._result(t) for t in texts]
 
 
@@ -219,8 +222,11 @@ def test_microbatching_coalesces_concurrent_requests():
     assert service.n_requests == 4 and service.n_device_calls == 2
 
 
-def test_microbatching_groups_by_seed():
-    """Different seeds must NOT share a batch (per-request reproducibility)."""
+def test_microbatching_coalesces_distinct_seeds():
+    """Distinct-seed requests MUST share a batch (per-example PRNG keys make
+    each row's output a function of its own seed only — round 3 measured a
+    2.4x throughput loss from the old same-seed-prefix rule), with the
+    per-item seeds forwarded to synthesize_batch."""
     cfg = tiny_cfg()
     service = srv.TTSService(cfg, _StubSynth(), max_batch=8)
 
@@ -238,9 +244,90 @@ def test_microbatching_groups_by_seed():
         time.sleep(0.01)  # keep FIFO order deterministic
     for t in threads:
         t.join(timeout=10)
-    # leader ran alone; then the two seed=1 requests batched; then seed=2
-    assert service.synth.batch_sizes == [1, 2, 1], service.synth.batch_sizes
-    assert service.n_device_calls == 3
+    # leader ran alone; ALL three followers coalesced despite mixed seeds
+    assert service.synth.batch_sizes == [1, 3], service.synth.batch_sizes
+    assert service.n_device_calls == 2
+    assert service.synth.seen_seeds[1] == [1, 1, 2]  # per-item seeds forwarded
+
+
+def test_overload_queue_cap_rejects():
+    """Past max_queue, generate raises OverloadedError with a Retry-After
+    hint instead of queueing unboundedly (bounded p95 under overload)."""
+    import time
+
+    cfg = tiny_cfg()
+    stub = _StubSynth(delay=0.0)
+    service = srv.TTSService(cfg, stub, max_batch=2, max_queue=2)
+    entered, hold = threading.Event(), threading.Event()
+    orig_single = stub.synthesize
+
+    def slow_single(text, seed=0, out_dir=None):
+        entered.set()
+        assert hold.wait(timeout=20)
+        return orig_single(text, seed=seed)
+
+    stub.synthesize = slow_single
+    errors, oks = [], []
+
+    def worker(i):
+        try:
+            oks.append(service.generate(f"t{i}", seed=0))
+        except srv.OverloadedError as e:
+            errors.append(e)
+
+    leader = threading.Thread(target=worker, args=(0,))
+    leader.start()
+    assert entered.wait(timeout=20)  # leader holds the device, queue empty
+    followers = [threading.Thread(target=worker, args=(i,)) for i in (1, 2)]
+    for t in followers:
+        t.start()
+    for _ in range(2000):  # wait until the queue is at capacity
+        with service._mutex:
+            if len(service._queue) == 2:
+                break
+        time.sleep(0.005)
+    else:
+        raise AssertionError("followers never queued")
+    # queue is full -> the next request must be shed, not queued
+    rejected = threading.Thread(target=worker, args=(3,))
+    rejected.start()
+    rejected.join(timeout=10)
+    assert len(errors) == 1 and errors[0].retry_after_s > 0
+    assert service.n_rejected == 1
+    hold.set()
+    for t in [leader] + followers:
+        t.join(timeout=20)
+    assert len(oks) == 3
+
+
+def test_overload_http_503_with_retry_after(http_server):
+    """The HTTP layer maps OverloadedError to 503 + Retry-After."""
+    # reach into the server's service object via a fresh tiny service:
+    # simpler to exercise the mapping directly over HTTP with max_queue=0
+    cfg = tiny_cfg()
+    params = T.init_tacotron(jax.random.PRNGKey(0), cfg.tacotron)
+    synth = Synthesizer(cfg, params, max_iters=20)
+    httpd = srv.serve(cfg, synth, host="127.0.0.1", port=0, max_queue=0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate_tts",
+            data=json.dumps({"text": "你好。"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert int(e.headers["Retry-After"]) >= 1
+            body = json.loads(e.read())
+            assert body["error"] == "overloaded" and body["retry_after_s"] > 0
+    finally:
+        httpd.shutdown()
 
 
 def test_microbatch_error_propagates_to_all_waiters():
@@ -260,7 +347,7 @@ def test_microbatch_error_propagates_to_all_waiters():
         assert hold.wait(timeout=20)
         return orig_single(text, seed=seed)
 
-    def boom(texts, seed=0):
+    def boom(texts, seed=0, pad_batch=False):
         raise RuntimeError("device on fire")
 
     stub.synthesize = slow_single
