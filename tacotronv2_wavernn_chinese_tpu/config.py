@@ -113,8 +113,15 @@ class TacotronModelConfig:
     lower_bound_decay: float = 0.1
     # fused-decoder-kernel precision for VMEM-resident attention keys/values:
     # "bf16" (default; T_in envelope ~768) or "f32" (exact energies, ~384).
-    # Weights stay bf16 either way; dtype=f32 parity tests always keep kv f32.
+    # dtype=f32 parity tests always keep kv f32.
     kernel_kv_dtype: str = "bf16"
+    # fused-decoder-kernel precision for the VMEM-resident WEIGHTS: "bf16"
+    # (default — the perf configuration) or "f32" (debug/parity: removes the
+    # kernel's only quantization vs the XLA decode at the cost of ~half the
+    # T_in envelope; with f32 weights the kv precision follows suit, and
+    # on-chip decode trajectories converge to the XLA path's —
+    # tools/check_kernel_parity_tpu.py --weights-dtype f32).
+    kernel_weights_dtype: str = "bf16"
 
 
 @dataclass(frozen=True)

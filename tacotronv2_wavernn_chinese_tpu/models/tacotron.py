@@ -637,6 +637,9 @@ def forward_inference(
         frames, stops, aligns, stop_len = decode_autoregressive_pallas(
             params, cfg, memory, mem_mask, k_dec,
             max_iters if max_iters is not None else cfg.max_iters,
+            dtype=(
+                jnp.float32 if cfg.kernel_weights_dtype == "f32" else jnp.bfloat16
+            ),
         )
     else:
         frames, stops, aligns, stop_len = decode_autoregressive(

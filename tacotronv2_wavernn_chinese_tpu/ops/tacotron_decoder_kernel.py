@@ -111,10 +111,16 @@ def supported_shape(
         taps = cfg.attention_kernel
         r = cfg.outputs_per_step
     b = min(batch, 8)  # kernel-native batch; the wrapper groups larger ones
+    w_bytes = 2  # bf16 weights (the perf configuration)
+    if cfg is not None and cfg.kernel_weights_dtype != "bf16":
+        # f32-weight debug/parity mode: weights double, and kv rides f32
+        # too (the wrapper always keeps kv f32 when dtype itself is f32)
+        dtype = jnp.float32
+        w_bytes = 4
     if cfg is not None and cfg.kernel_kv_dtype != "bf16":
         dtype = jnp.float32
     kv_bytes = 2 if dtype == jnp.bfloat16 else 4
-    weights = 2 * (  # bf16
+    weights = w_bytes * (
         (pre + V + u) * 4 * u  # lstm1 split kernels
         + 2 * u * 4 * u  # lstm2
         + pre * pre + 80 * pre  # prenet

@@ -147,8 +147,12 @@ class TTSService:
     serially behind a lock — the classic adaptive-batching server loop.
     The first request in an idle server runs immediately (no added
     latency).  Requests with DISTINCT seeds coalesce too: the synthesizer
-    threads per-example PRNG keys end-to-end, so each request's output
-    depends only on its own (text, seed), never on its co-batch.
+    threads per-example PRNG keys end-to-end, so each request's RANDOM
+    STREAM depends only on its own (text, seed), never on its co-batch.
+    (Exactness caveat: different batch shapes compile to different XLA
+    programs, so floats can differ by ~1e-7 across batch sizes — at most a
+    couple int16 LSBs in served audio.  The reference's serving contract is
+    seedless/nondeterministic, views.py:53-105.)
 
     Admission control: at most ``max_queue`` requests may wait (the
     reference fronted its model with TF Serving's bounded batch queue,

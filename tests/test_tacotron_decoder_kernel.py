@@ -183,6 +183,11 @@ def test_supported_shape_accounts_for_config_dims():
     big = dataclasses.replace(cfg, encoder_lstm_units=512)
     assert not DK.supported_shape(8, 384, big, dtype=jnp.float32)
     assert DK.supported_shape(8, 64, big, dtype=jnp.float32)  # small fits
+    # f32-weight debug/parity mode shrinks the envelope (weights double AND
+    # kv rides f32) but the parity shapes (T_in<=128) stay well inside it
+    f32w = dataclasses.replace(cfg, kernel_weights_dtype="f32")
+    assert DK.supported_shape(8, 128, f32w)
+    assert not DK.supported_shape(8, 768, f32w)
 
 
 def test_bf16_serving_drift_is_bounded(setup):
