@@ -184,6 +184,12 @@ class TacotronTrainConfig:
     max_mel_frames: int = 900
     clip_mels_length: bool = False
     data_seed: int = 1234
+    # pre-compile every bucketed batch shape before the first real step
+    # (replays the shuffle+bucket logic over the planned epochs from
+    # metadata lengths alone): steady-state training then never pays a
+    # mid-run XLA compile — the round-3 endurance run measured p95 2.32 s
+    # vs p50 0.156 s purely from bucket-shape compile churn
+    precompile_buckets: bool = True
     shuffle_seed: int = 5339
     batches_per_group: int = 20
     max_checkpoints_to_keep: int = 20

@@ -128,6 +128,44 @@ class TacotronDataset:
             inputs, input_lengths, mels, stops, target_lengths, loss_frames, list(row_indices)
         )
 
+    def batch_shapes(
+        self,
+        epoch_seeds,
+        batch_size: int | None = None,
+        indices: list[int] | None = None,
+        input_multiple: int = 16,
+        mel_multiple: int = 64,
+    ) -> list[tuple[int, int]]:
+        """Distinct padded (T_in, T_out) batch shapes ``batches`` will
+        produce over the given epoch seeds — computed from metadata lengths
+        only (no mel loads), by replaying the exact shuffle+bucket logic.
+        Lets the training driver pre-compile every shape up front instead of
+        paying multi-second XLA compiles mid-training (the round-3 endurance
+        run measured a 15x p95/p50 step-time tail from bucket-shape compile
+        churn)."""
+        cfg = self.cfg
+        bs = batch_size or cfg.tacotron_train.batch_size
+        r = cfg.tacotron.outputs_per_step
+        idx_base = list(indices if indices is not None else self.train_indices)
+        in_len = {i: len(self.symbols.encode(self.rows[i][5])) for i in idx_base}
+        mel_len = {i: int(self.rows[i][3]) for i in idx_base}
+        group = bs * cfg.tacotron_train.batches_per_group
+        shapes = set()
+        for seed in epoch_seeds:
+            idx = list(idx_base)
+            np.random.RandomState(seed).shuffle(idx)
+            for gstart in range(0, len(idx), group):
+                gidx = idx[gstart : gstart + group]
+                gidx.sort(key=lambda i: mel_len[i])
+                for s in range(0, len(gidx), bs):
+                    b = gidx[s : s + bs]
+                    if len(b) != bs:  # drop_remainder (training default)
+                        continue
+                    max_in = _round_up(max(in_len[i] for i in b), input_multiple)
+                    ref_out = _round_up(max(mel_len[i] for i in b), r)
+                    shapes.add((max_in, _round_up(ref_out, mel_multiple)))
+        return sorted(shapes)
+
     def sequential_batches(self, batch_size: int, indices=None, **kw):
         """In-order batches over the corpus (GTA generation / eval)."""
         idx = list(indices if indices is not None else range(len(self.rows)))

@@ -155,6 +155,10 @@ def run_training(
                 _dump_embedding(state.params, eval_dir, log)
 
     with ctx:
+        if tc.precompile_buckets and step < total_steps:
+            _prewarm_bucket_shapes(
+                cfg, dataset, state, mesh, spd, total_steps, step, log
+            )
         while step < total_steps:
             stream = dataset.batches(epoch_seed=tc.data_seed + epoch)
             step_at_epoch_start = step
@@ -176,6 +180,66 @@ def run_training(
     metrics_writer.close()
     profiler.close()
     return state
+
+
+def _prewarm_bucket_shapes(cfg, dataset, state, mesh, spd, total_steps, start_step, log):
+    """Compile every bucketed batch shape BEFORE the first real step.
+
+    Replays the epoch shuffle+bucket logic from metadata lengths alone
+    (``TacotronDataset.batch_shapes``) to enumerate the exact (T_in, T_out)
+    set the planned epochs will produce, then executes one throwaway
+    train_step per shape on a COPY of the state with zero batches — the jit
+    dispatch cache (and the persistent compile cache, for restarts) then
+    already hold every program, so steady-state step time has no
+    multi-second compile tail (round-3 endurance: p95 2.32 s vs p50
+    0.156 s from exactly this churn; the reference's cadence is flat,
+    tacotron/train.py:177)."""
+    import jax.numpy as jnp
+
+    tc = cfg.tacotron_train
+    bs = tc.batch_size
+    n_batches = len(dataset.train_indices) // bs
+    if n_batches == 0:
+        return
+    # enumerate the epochs this run will actually execute (capped: the
+    # shape set saturates after a few shuffles)
+    n_epochs = min(-(-max(total_steps - start_step, 1) // n_batches), 64)
+    shapes = dataset.batch_shapes([tc.data_seed + e for e in range(n_epochs)])
+    log(f"pre-compiling {len(shapes)} bucket shapes "
+        f"(epochs planned: {n_epochs}, {n_batches} batches/epoch)")
+    t0 = time.time()
+    # one jitted deep copy: train_step donates its input state, so the warm
+    # steps chain through a sacrificial copy and the real state is untouched
+    warm = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))(state)
+    rng = jax.random.PRNGKey(0)
+    M = 80
+    for n, (max_in, max_out) in enumerate(shapes):
+        arrays = {
+            "inputs": np.zeros((bs, max_in), np.int32),
+            "input_lengths": np.full((bs,), max_in, np.int32),
+            "mel_targets": np.zeros((bs, max_out, M), np.float32),
+            "stop_targets": np.ones((bs, max_out), np.float32),
+            "target_lengths": np.full((bs,), max_out, np.int32),
+            "loss_frames": np.full((bs,), max_out, np.int32),
+        }
+        t1 = time.time()
+        if spd > 1:
+            stacked = jax.tree_util.tree_map(
+                lambda x: np.broadcast_to(x, (spd,) + x.shape).copy(), arrays
+            )
+            stacked = shard_stacked_batch(mesh, stacked) if mesh is not None else stacked
+            warm, _ = task.train_step_many(warm, stacked, rng, cfg)
+        # the single-step variant runs regardless (spd==1 always; K>1 runs
+        # it for epoch-tail groups), so it is always warmed
+        sharded = shard_batch(mesh, arrays) if mesh is not None else arrays
+        warm, _ = task.train_step(warm, sharded, rng, cfg)
+        # sync so compile/launch time is attributed per shape in the log
+        # (works through the axon relay, where block_until_ready does not)
+        float(np.asarray(warm.step))
+        log(f"  shape ({bs}, {max_in})x({bs}, {max_out}, {M}) "
+            f"[{n + 1}/{len(shapes)}] {time.time() - t1:.1f}s")
+    del warm
+    log(f"bucket pre-compile done in {time.time() - t0:.1f}s")
 
 
 def _render_eval(cfg, params, batch, arrays, pipe, eval_dir, step, log):

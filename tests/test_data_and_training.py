@@ -96,6 +96,21 @@ def test_loader_batches(training_data):
     assert np.allclose(b.mel_targets[i, L:], -4.0)
 
 
+def test_batch_shapes_enumerates_real_stream(training_data):
+    """batch_shapes (metadata-only replay) must cover EXACTLY the padded
+    shapes the real batch stream produces — it's what the training driver
+    pre-compiles, so a miss would reintroduce the mid-training compile
+    tail and an over-enumeration would waste warm compiles."""
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), CFG)
+    seeds = [CFG.tacotron_train.data_seed + e for e in range(3)]
+    predicted = set(ds.batch_shapes(seeds))
+    actual = set()
+    for s in seeds:
+        for b in ds.batches(epoch_seed=s):
+            actual.add((b.inputs.shape[1], b.mel_targets.shape[1]))
+    assert actual == predicted, (actual, predicted)
+
+
 def test_train_step_decreases_loss(training_data):
     cfg = CFG
     ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), cfg)
