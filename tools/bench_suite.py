@@ -381,6 +381,58 @@ def main() -> None:
         except Exception as e:
             print(f"# lsa kernel bench skipped: {e}")
 
+    # r=2 (the reference's own speed knob, tacotron_hparams.py:124
+    # outputs_per_step): each kernel step emits TWO mel frames, so the
+    # x-realtime rate should beat r=1 even though the widened projections
+    # make the step slightly heavier — this row proves the knob pays off
+    # end-to-end on the kernel path, not just that r=2 has parity
+    cfg_r2 = _dc.replace(cfg.tacotron, outputs_per_step=2)
+    if on_tpu and DK.supported(cfg_r2) and DK.supported_shape(1, T_in, cfg_r2):
+        try:
+            from tacotronv2_wavernn_chinese_tpu.models.tacotron import init_tacotron
+
+            r2_params = init_tacotron(jax.random.PRNGKey(0), cfg_r2)
+            r2_params["stop_projection"] = dict(
+                r2_params["stop_projection"],
+                b=jnp.full_like(r2_params["stop_projection"]["b"], -20.0),
+            )
+
+            def r2_decode(it):
+                def run(k):
+                    mem = jax.random.normal(
+                        jax.random.PRNGKey(0),
+                        (1, T_in, 2 * cfg.tacotron.encoder_lstm_units),
+                    )
+
+                    def body(i, acc):
+                        fr, st, al, sl = DK.decode_autoregressive_pallas(
+                            r2_params, cfg_r2, mem, jnp.ones((1, T_in)),
+                            jax.random.fold_in(k, i), it,
+                        )
+                        return acc + jnp.sum(fr)
+
+                    return jax.lax.fori_loop(0, REPS, body, 0.0)
+
+                return jax.jit(run)
+
+            dt_lo = timed(r2_decode(it_lo), key)
+            dt_hi = timed(r2_decode(it_hi), key)
+            per_step = max((dt_hi - dt_lo) / (REPS * (it_hi - it_lo)), 1e-9)
+            emit(
+                "tacotron_decoder_kernel_r2_steps_per_second",
+                1.0 / per_step,
+                "steps/s",
+                batch_size=1, outputs_per_step=2,
+            )
+            emit(
+                "tacotron_inference_kernel_r2_x_realtime",
+                (1.0 / per_step) * 2 * hop / sr,
+                "x_realtime",
+                batch_size=1, outputs_per_step=2,
+            )
+        except Exception as e:
+            print(f"# r2 kernel bench skipped: {e}")
+
     # ---- wavernn train step ----------------------------------------------
     from tacotronv2_wavernn_chinese_tpu.train import wavernn_task as WT
 
