@@ -177,6 +177,10 @@ class TacotronTrainConfig:
     # the sequential 8-row Mosaic groups currently cost more than the
     # per-step fusion saves (see ops/tacotron_trainer_kernel.py docstring).
     fused_decoder: str = "off"
+    # weight-gradient layout of the fused backward: "accum" keeps them in
+    # VMEM via per-chunk MXU reductions (no [T, B, 4u] adjoint streams);
+    # "stream" is the round-3 stream+outside-einsum layout
+    fused_wgrads: str = "accum"
     fine_tune: bool = False  # freeze embedding+encoder (reference tacotron.py:167-169)
     checkpoint_interval: int = 500
     summary_interval: int = 1000

@@ -292,6 +292,7 @@ def decode_teacher_forced(
     fused_core: bool = False,
     fused_interpret: bool = False,
     fused_dtype=None,
+    fused_wgrads: str = "accum",
 ):
     """Teacher-forced decode (reference helpers.py:136-142: with ratio 1.0
     the next input is unconditionally the ground-truth frame, which is what
@@ -369,6 +370,7 @@ def decode_teacher_forced(
                 params, cfg, pre_all, masks, keys, memory, mem_mask,
                 interpret=fused_interpret,
                 dtype=fused_dtype if fused_dtype is not None else jnp.bfloat16,
+                wgrads=fused_wgrads,
             )
         else:
 
@@ -578,6 +580,7 @@ def forward_teacher_forced(
     fused_core: bool = False,
     fused_interpret: bool = False,
     fused_dtype=None,
+    fused_wgrads: str = "accum",
 ):
     """Full teacher-forced forward; returns (TacotronOutput, new_params)."""
     k_enc, k_dec, k_post, k_cbhg = jax.random.split(rng, 4)
@@ -587,7 +590,7 @@ def forward_teacher_forced(
         params, cfg, memory, mem_mask, mel_targets, train, k_dec,
         teacher_forcing_ratio=teacher_forcing_ratio, unroll=unroll,
         fused_core=fused_core, fused_interpret=fused_interpret,
-        fused_dtype=fused_dtype,
+        fused_dtype=fused_dtype, fused_wgrads=fused_wgrads,
     )
     frames = _clip_mel(frames, cfg)
     mel_out, new_postnet = apply_postnet(params, cfg, frames, train, k_post)

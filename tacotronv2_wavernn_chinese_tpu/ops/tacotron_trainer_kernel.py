@@ -284,13 +284,30 @@ def _fwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
 # backward kernel
 # ---------------------------------------------------------------------------
 
+# wg="stream" (the round-3 layout): per-step adjoint vectors stream to HBM
+# and the custom-vjp wrapper reduces them against saved activations as
+# [T*B, in] x [T*B, out] einsums outside.  The two [T, B, 4u] gate-adjoint
+# streams are what overflowed XLA's scoped VMEM at 16/32-row groups.
+#
+# wg="accum" (round 4): the gate/query adjoints never leave the kernel —
+# each chunk's d_g1/d_g2/d_q collect in VMEM scratch and reduce against the
+# SAME activation blocks the kernel already holds (one [chunk*B, in] x
+# [chunk*B, 4u] MXU contraction per weight per chunk, K = chunk*B = 64),
+# accumulating into VMEM-resident weight-gradient buffers written once at
+# the end.  Only d_p (the prenet cotangent, computed in-kernel), d_mulin
+# and d_ctx_tot still stream — together ~1/4 the bytes of one gate stream.
 BWD_OUTS = ("d_g1", "d_g2", "d_q", "d_mulin", "d_ctx_tot")
+BWD_OUTS_ACCUM = ("d_p", "d_mulin", "d_ctx_tot")
 BWD_ACCS = ("d_keys", "d_conv", "d_wloc", "d_v", "d_ball")
+# weight-gradient accumulators (accum mode): segment layout mirrors
+# CORE_WEIGHTS; biases collect [B, 4u] per-example partials like d_v
+BWD_WACCS = ("d_l1pre", "d_l1ctx", "d_l1h", "d_g1b",
+             "d_l2x", "d_l2h", "d_g2b", "d_wq")
 
 
 def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
                 mask_ref, cumT_ref, gout2_ref, gctx_ref, galign_ref, *rest,
-                chunk: int, dims: tuple):
+                chunk: int, dims: tuple, wg: str = "stream"):
     (B, T_in, pre, u, V, A, taps, zoneout, use_masks) = dims
     n_w = len(CORE_WEIGHTS)
     W = dict(zip(CORE_WEIGHTS, rest[:n_w]))
@@ -298,12 +315,19 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
     out2_ref = rest[n_w + 9]  # re-fed primal outputs
     ctx_ref = rest[n_w + 10]
     align_ref = rest[n_w + 11]
-    outs = dict(zip(BWD_OUTS, rest[n_w + 12 : n_w + 12 + len(BWD_OUTS)]))
-    accs = dict(zip(BWD_ACCS, rest[n_w + 12 + len(BWD_OUTS) : n_w + 12 + len(BWD_OUTS) + len(BWD_ACCS)]))
+    out_names = BWD_OUTS_ACCUM if wg == "accum" else BWD_OUTS
+    acc_names = BWD_ACCS + (BWD_WACCS if wg == "accum" else ())
+    k = n_w + 12
+    outs = dict(zip(out_names, rest[k : k + len(out_names)]))
+    k += len(out_names)
+    accs = dict(zip(acc_names, rest[k : k + len(acc_names)]))
+    k += len(acc_names)
     (
         ac1S, ah1S, ac2S, ah2S, actxS, aalphaS, acumS, amuS, cumS,
         dcumP, winS, wS, energyS, shiftS,
-    ) = rest[n_w + 12 + len(BWD_OUTS) + len(BWD_ACCS) :]
+    ) = rest[k : k + 14]
+    if wg == "accum":
+        dg1C, dg2C, dqC = rest[k + 14 :]  # per-chunk adjoint collectors
     f32 = jnp.float32
     padl = (taps - 1) // 2
 
@@ -312,7 +336,7 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         for ref in (ac1S, ah1S, ac2S, ah2S, actxS, aalphaS, acumS, amuS):
             ref[:] = jnp.zeros_like(ref)
         cumS[:] = cumT_ref[:]
-        for name in BWD_ACCS:
+        for name in acc_names:
             accs[name][:] = jnp.zeros_like(accs[name])
         shiftS[:] = jnp.zeros_like(shiftS)
 
@@ -458,7 +482,10 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
 
         # E: d_out2 += d_q . wq^T
         d_out2 = d_out2 + _mmT(d_q_acc, W["wq"])
-        outs["d_q"][s] = d_q_acc
+        if wg == "accum":
+            dqC[s] = d_q_acc
+        else:
+            outs["d_q"][s] = d_q_acc
 
         # D: LSTM2 backward (recompute gates)
         g2 = _mm(out1, W["l2_x"]) + _mm(h2p, W["l2_h"]) + W["l2_b"][:].astype(f32)
@@ -478,7 +505,10 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         d_f = d_new_c2 * c2p * sf * (1.0 - sf)
         d_o = d_new_h2 * th_c2 * so * (1.0 - so)
         d_g2 = jnp.concatenate([d_i, d_j, d_f, d_o], axis=-1)
-        outs["d_g2"][s] = d_g2
+        if wg == "accum":
+            dg2C[s] = d_g2
+        else:
+            outs["d_g2"][s] = d_g2
         d_out1 = _mmT(d_g2, W["l2_x"])
         d_h2_prev = a_h2 * (1.0 - m_h) + _mmT(d_g2, W["l2_h"])
 
@@ -501,7 +531,13 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         d_f1 = d_new_c1 * c1p * sf1 * (1.0 - sf1)
         d_o1 = d_new_h1 * th_c1 * so1 * (1.0 - so1)
         d_g1 = jnp.concatenate([d_i1, d_j1, d_f1, d_o1], axis=-1)
-        outs["d_g1"][s] = d_g1
+        if wg == "accum":
+            dg1C[s] = d_g1
+            # the prenet cotangent leaves the kernel in place of the whole
+            # gate adjoint: [B, pre] instead of [B, 4u]
+            outs["d_p"][s] = _mmT(d_g1, W["l1_pre"])
+        else:
+            outs["d_g1"][s] = d_g1
         d_h1_prev = a_h1 * (1.0 - m_h1) + _mmT(d_g1, W["l1_h"])
         a_ctx_next = _mmT(d_g1, W["l1_ctx"])
 
@@ -516,6 +552,36 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         return 0
 
     jax.lax.fori_loop(0, chunk, body, 0)
+
+    if wg == "accum":
+        # Per-CHUNK weight-gradient reduction: contract the chunk's
+        # collected adjoints against the SAME activation blocks the kernel
+        # already holds in VMEM — one [chunk*B, in] x [chunk*B, out] MXU
+        # matmul per weight segment (K = chunk*B), accumulating into the
+        # VMEM-resident gradient buffers.  This is what removes the
+        # [T, B, 4u] gate-adjoint HBM streams and the outside einsums.
+        mm_dt = W["l1_pre"].dtype  # bf16 on the perf path, f32 in parity
+        dg1 = dg1C[...].reshape(chunk * B, 4 * u)
+        dg2 = dg2C[...].reshape(chunk * B, 4 * u)
+        dq = dqC[...].reshape(chunk * B, A)
+
+        def red(acc_ref, x, d):
+            acc_ref[:, :] = acc_ref[:, :] + jax.lax.dot_general(
+                x.reshape(chunk * B, x.shape[-1]).astype(mm_dt),
+                d.astype(mm_dt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        red(accs["d_l1pre"], p_ref[...], dg1)
+        red(accs["d_l1ctx"], saves["ctxp"][...], dg1)
+        red(accs["d_l1h"], saves["h1p"][...], dg1)
+        red(accs["d_l2x"], saves["out1"][...], dg2)
+        red(accs["d_l2h"], saves["h2p"][...], dg2)
+        red(accs["d_wq"], out2_ref[...], dq)
+        # bias partials stay per-example rows (reduced outside, like d_v)
+        accs["d_g1b"][:, :] = accs["d_g1b"][:, :] + jnp.sum(dg1C[...], axis=0)
+        accs["d_g2b"][:, :] = accs["d_g2b"][:, :] + jnp.sum(dg2C[...], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -533,7 +599,7 @@ def _pad_T(x, T_pad):
 
 
 def _specs_for(static):
-    (B, T_in, T, chunk, pre, u, V, A, taps, zoneout, use_masks, interpret, dt) = static
+    (B, T_in, T, chunk, pre, u, V, A, taps, zoneout, use_masks, interpret, dt) = static[:13]
     n_chunks = -(-T // chunk)
     # T_pad = n_chunks*chunk must tile under the backward's fixed chunk of
     # 8 as well, so round the chunk count up until it does
@@ -553,7 +619,7 @@ def _weights_list(weights, dtype):
 
 
 def _fwd_call(static, weights, p_seq, masks, keys, values, mem_mask):
-    (B, T_in, T, chunk, pre, u, V, A, taps, zoneout, use_masks, interpret, dt) = static
+    (B, T_in, T, chunk, pre, u, V, A, taps, zoneout, use_masks, interpret, dt) = static[:13]
     dtype = jnp.bfloat16 if dt == "bf16" else jnp.float32
     n_chunks, full, ck, rck = _specs_for(static)
     T_pad = n_chunks * chunk
@@ -620,7 +686,8 @@ def _fwd_call(static, weights, p_seq, masks, keys, values, mem_mask):
 
 
 def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots):
-    (B, T_in, T, chunk, pre, u, V, A, taps, zoneout, use_masks, interpret, dt) = static
+    (B, T_in, T, chunk, pre, u, V, A, taps, zoneout, use_masks, interpret, dt) = static[:13]
+    wg = static[13] if len(static) > 13 else "stream"
     dtype = jnp.bfloat16 if dt == "bf16" else jnp.float32
     n_chunks, full, ck, rck = _specs_for(static)
     T_pad = n_chunks * chunk
@@ -657,23 +724,53 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
     one_hot = (jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1) == 0).astype(f32)
     cum_T = one_hot + jnp.sum(resid[0], axis=0)  # init + sum(align_sm)
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((T_pad, B, 4 * u), f32),  # d_g1
-        jax.ShapeDtypeStruct((T_pad, B, 4 * u), f32),  # d_g2
-        jax.ShapeDtypeStruct((T_pad, B, A), f32),      # d_q
-        jax.ShapeDtypeStruct((T_pad, B), f32),         # d_mulin
-        jax.ShapeDtypeStruct((T_pad, B, V), f32),      # d_ctx_tot
-        jax.ShapeDtypeStruct((B, T_in, A), f32),       # d_keys
-        jax.ShapeDtypeStruct((taps, F_loc), f32),      # d_conv
-        jax.ShapeDtypeStruct((F_loc, A), f32),         # d_wloc
-        jax.ShapeDtypeStruct((B, A), f32),             # d_v (per-example rows)
-        jax.ShapeDtypeStruct((B, A), f32),             # d_ball (per-example rows)
-    ]
     const3 = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_specs = [
-        rck(B, 4 * u), rck(B, 4 * u), rck(B, A), rck(B), rck(B, V),
-        const3(), const3(), const3(), const3(), const3(),
-    ]
+    if wg == "accum":
+        out_shapes = [
+            jax.ShapeDtypeStruct((T_pad, B, pre), f32),    # d_p
+            jax.ShapeDtypeStruct((T_pad, B), f32),         # d_mulin
+            jax.ShapeDtypeStruct((T_pad, B, V), f32),      # d_ctx_tot
+            jax.ShapeDtypeStruct((B, T_in, A), f32),       # d_keys
+            jax.ShapeDtypeStruct((taps, F_loc), f32),      # d_conv
+            jax.ShapeDtypeStruct((F_loc, A), f32),         # d_wloc
+            jax.ShapeDtypeStruct((B, A), f32),             # d_v (per-example rows)
+            jax.ShapeDtypeStruct((B, A), f32),             # d_ball (per-example rows)
+            jax.ShapeDtypeStruct((pre, 4 * u), f32),       # d_l1pre
+            jax.ShapeDtypeStruct((V, 4 * u), f32),         # d_l1ctx
+            jax.ShapeDtypeStruct((u, 4 * u), f32),         # d_l1h
+            jax.ShapeDtypeStruct((B, 4 * u), f32),         # d_g1b (rows)
+            jax.ShapeDtypeStruct((u, 4 * u), f32),         # d_l2x
+            jax.ShapeDtypeStruct((u, 4 * u), f32),         # d_l2h
+            jax.ShapeDtypeStruct((B, 4 * u), f32),         # d_g2b (rows)
+            jax.ShapeDtypeStruct((u, A), f32),             # d_wq
+        ]
+        out_specs = [
+            rck(B, pre), rck(B), rck(B, V),
+            *[const3() for _ in range(13)],
+        ]
+        extra_scratch = [
+            pltpu.VMEM((chunk, B, 4 * u), f32),  # dg1C
+            pltpu.VMEM((chunk, B, 4 * u), f32),  # dg2C
+            pltpu.VMEM((chunk, B, A), f32),      # dqC
+        ]
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((T_pad, B, 4 * u), f32),  # d_g1
+            jax.ShapeDtypeStruct((T_pad, B, 4 * u), f32),  # d_g2
+            jax.ShapeDtypeStruct((T_pad, B, A), f32),      # d_q
+            jax.ShapeDtypeStruct((T_pad, B), f32),         # d_mulin
+            jax.ShapeDtypeStruct((T_pad, B, V), f32),      # d_ctx_tot
+            jax.ShapeDtypeStruct((B, T_in, A), f32),       # d_keys
+            jax.ShapeDtypeStruct((taps, F_loc), f32),      # d_conv
+            jax.ShapeDtypeStruct((F_loc, A), f32),         # d_wloc
+            jax.ShapeDtypeStruct((B, A), f32),             # d_v (per-example rows)
+            jax.ShapeDtypeStruct((B, A), f32),             # d_ball (per-example rows)
+        ]
+        out_specs = [
+            rck(B, 4 * u), rck(B, 4 * u), rck(B, A), rck(B), rck(B, V),
+            const3(), const3(), const3(), const3(), const3(),
+        ]
+        extra_scratch = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_chunks,),
@@ -703,10 +800,11 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
             pltpu.VMEM((B, 64, taps), f32),          # wS (im2col)
             pltpu.VMEM((B, T_in), f32),              # energy scratch
             pltpu.VMEM((B, T_in + 1), f32),          # shift
+            *extra_scratch,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, chunk=chunk, dims=dims),
+        functools.partial(_bwd_kernel, chunk=chunk, dims=dims, wg=wg),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
@@ -737,7 +835,10 @@ def _core_fwd(static, weights, p_seq, masks, keys, values, mem_mask):
 def _core_bwd(static, res, cots):
     weights, p_seq, masks, keys, values, mem_mask, saves = res
     T = static[2]
+    wg = static[13] if len(static) > 13 else "stream"
     f32 = jnp.float32
+    if wg == "accum":
+        return _core_bwd_accum(static, res, cots)
     (d_g1, d_g2, d_q, d_mulin, d_ctx_tot, d_keys, d_conv, d_wloc, d_v,
      d_ball) = _bwd_call(
         static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
@@ -776,6 +877,44 @@ def _core_bwd(static, res, cots):
     return (dW, d_p, d_masks, d_keys, d_values, jnp.zeros_like(mem_mask))
 
 
+def _core_bwd_accum(static, res, cots):
+    """wg='accum': every gate/attention weight gradient arrives FROM the
+    kernel (per-chunk MXU reductions against in-VMEM activations); only the
+    mu-layer gradients and d_values contract outside, against the tiny
+    d_mulin / d_ctx_tot streams."""
+    weights, p_seq, masks, keys, values, mem_mask, saves = res
+    T = static[2]
+    f32 = jnp.float32
+    (d_p, d_mulin, d_ctx_tot, d_keys, d_conv, d_wloc, d_v, d_ball,
+     d_l1pre, d_l1ctx, d_l1h, d_g1b, d_l2x, d_l2h, d_g2b, d_wq) = _bwd_call(
+        static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
+    )
+    (out2_s, ctx_s, align_s, *_rest) = saves
+    hp = "highest"
+    dW = (
+        d_l1pre,                                                          # l1_pre
+        d_l1ctx,                                                          # l1_ctx
+        d_l1h,                                                            # l1_h
+        jnp.sum(d_g1b, axis=0)[None],                                     # l1_b
+        d_l2x,                                                            # l2_x
+        d_l2h,                                                            # l2_h
+        jnp.sum(d_g2b, axis=0)[None],                                     # l2_b
+        d_wq,                                                             # wq
+        d_conv,                                                           # w_conv
+        d_wloc,                                                           # w_loc
+        jnp.sum(d_ball, axis=0, keepdims=True),                           # ball
+        jnp.sum(d_v, axis=0, keepdims=True),                              # v
+        jnp.einsum("tbv,tb->v", ctx_s, d_mulin, precision=hp)[:, None],  # mu_c
+        jnp.einsum("tbu,tb->u", out2_s, d_mulin, precision=hp)[:, None], # mu_q
+        jnp.sum(d_mulin)[None, None],                                     # mu_b
+    )
+    d_values = jnp.einsum("tbi,tbv->biv", align_s, d_ctx_tot, precision=hp)
+    d_masks = None
+    if static[10]:  # use_masks
+        d_masks = tuple(jnp.zeros_like(m) for m in masks)
+    return (dW, d_p[:T], d_masks, d_keys, d_values, jnp.zeros_like(mem_mask))
+
+
 _core.defvjp(_core_fwd, _core_bwd)
 
 
@@ -795,13 +934,19 @@ def fused_core_apply(
     chunk: int = 16,
     interpret: bool = False,
     dtype=jnp.bfloat16,
+    wgrads: str = "accum",
 ):
     """Run the fused teacher-forced decoder core; returns
     (out2_seq [T,B,u], ctx_seq [T,B,V], aligns [T,B,T_in]).
 
     Differentiable end-to-end via the custom VJP; batches beyond the 8-row
     Mosaic envelope run as sequential groups whose weight cotangents JAX
-    sums automatically."""
+    sums automatically.
+
+    ``wgrads``: "accum" (default) accumulates the gate/attention weight
+    gradients INSIDE the backward kernel via per-chunk MXU reductions —
+    no [T, B, 4u] adjoint streams, no outside einsums, no scoped-VMEM
+    pressure; "stream" is the round-3 layout kept for comparison."""
     T, B, pre = pre_seq.shape
     T_in = keys.shape[1]
     u = cfg.decoder_lstm_units
@@ -833,8 +978,10 @@ def fused_core_apply(
     # temporaries put a 32-row body over the 16 MB scoped-VMEM budget even
     # at F width; 16-row groups fit.  Larger batches run as sequential
     # groups; the stream chunk shrinks with the group size to keep the
-    # double-buffered windows under budget.
-    group = 16 if B >= 16 else B
+    # double-buffered windows under budget.  Accum mode adds ~6 MB of
+    # weight-gradient accumulators to the backward kernel's VMEM, so it
+    # stays at 8-row groups (the accumulators don't scale with rows).
+    group = (16 if B >= 16 else B) if wgrads != "accum" else min(B, 8)
     outs = []
     for start in range(0, B, group):
         end = min(start + group, B)
@@ -847,6 +994,7 @@ def fused_core_apply(
         static = (
             Bg, T_in, T, chunk_g, pre, u, V, A, taps,
             float(cfg.zoneout_rate), use_masks, bool(interpret), dt,
+            wgrads,
         )
         m_g = None
         if use_masks:

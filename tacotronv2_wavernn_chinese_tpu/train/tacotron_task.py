@@ -185,6 +185,7 @@ def loss_fn(params, cfg: Config, batch, rng, train: bool = True, teacher_forcing
         teacher_forcing_ratio=teacher_forcing_ratio,
         unroll=cfg.tacotron_train.scan_unroll,
         fused_core=fused,
+        fused_wgrads=cfg.tacotron_train.fused_wgrads,
     )
     tc = cfg.tacotron_train
     if tc.mixed_precision:

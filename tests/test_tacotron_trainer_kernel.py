@@ -32,10 +32,11 @@ def setup():
     return cfg, params, inputs, lens, mels
 
 
-def _run(params, cfg, inputs, lens, mels, train, fused, rng):
+def _run(params, cfg, inputs, lens, mels, train, fused, rng, wgrads="accum"):
     return T.forward_teacher_forced(
         params, cfg, inputs, lens, mels, train, rng,
         fused_core=fused, fused_interpret=True, fused_dtype=jnp.float32,
+        fused_wgrads=wgrads,
     )
 
 
@@ -67,16 +68,19 @@ def test_value_parity(setup, train):
     )
 
 
-def test_gradient_parity(setup):
-    """jax.grad through the fused core (custom VJP: backward kernel +
-    outside weight-grad einsums) matches jax.grad through the XLA scan for
-    EVERY parameter leaf — including the encoder (via d_keys/d_values), the
-    combined location conv chain, and the prenet (via d_p)."""
+@pytest.mark.parametrize("wgrads", ["stream", "accum"])
+def test_gradient_parity(setup, wgrads):
+    """jax.grad through the fused core matches jax.grad through the XLA
+    scan for EVERY parameter leaf — including the encoder (via
+    d_keys/d_values), the combined location conv chain, and the prenet
+    (via d_p) — in BOTH weight-gradient layouts: 'stream' (adjoints to
+    HBM + outside einsums) and 'accum' (per-chunk in-kernel MXU
+    reductions, the default)."""
     cfg, params, inputs, lens, mels = setup
     rng = jax.random.PRNGKey(11)
 
     def loss(p, fused):
-        out, _ = _run(p, cfg, inputs, lens, mels, True, fused, rng)
+        out, _ = _run(p, cfg, inputs, lens, mels, True, fused, rng, wgrads)
         return (
             jnp.mean(out.decoder_output**2)
             + jnp.mean(out.stop_logits**2) * 0.1

@@ -194,10 +194,46 @@ def main():
         print(json.dumps(row), flush=True)
         return row
 
+    # ...and the DECISIVE control: the XLA decode against ITSELF with ONE
+    # weight perturbed by a relative 1e-7 (one f32 ulp class).  If that
+    # alone reproduces the same drift magnitude / stop-length flip, the
+    # trajectory is chaotically sensitive at these weights — no
+    # reimplementation at ANY precision can track it to 1e-3 over 220 AR
+    # steps, and whole-trajectory max|dmel| stops being a meaningful parity
+    # metric (alignment agreement and stop length +-1 are).
+    def xla_vs_eps(name, cfg):
+        q = jax.tree.map(
+            lambda x: x * (1.0 + 1e-7) if hasattr(x, "astype") else x, params
+        )
+        B, T_in = inputs.shape
+        memory, _ = TT2.encode(params, cfg, inputs, lens, False, jax.random.PRNGKey(1))
+        mask = (jnp.arange(T_in)[None, :] < lens[:, None]).astype(jnp.float32)
+        dec = jax.jit(lambda p, m, k: TT2.decode_autoregressive(p, cfg, m, mask, k, args.max_iters))
+        fr_a, _, al_a, sl_a = dec(params, memory, rng)
+        fr_b, _, al_b, sl_b = dec(q, memory, rng)
+        sl_a, sl_b = np.asarray(sl_a), np.asarray(sl_b)
+        n = max(int(min(sl_a.min(), sl_b.min())), 1)
+        fr_a, fr_b = np.asarray(fr_a)[:, :n], np.asarray(fr_b)[:, :n]
+        al_a, al_b = np.asarray(al_a)[:, :n], np.asarray(al_b)[:, :n]
+        row = {
+            "mode": name, "batch": B, "t_in": T_in, "decoded_frames": n,
+            "max_abs_dmel": float(np.abs(fr_a - fr_b).max()),
+            "align_argmax_agreement": float((al_a.argmax(-1) == al_b.argmax(-1)).mean()),
+            "stop_len_a": [int(x) for x in sl_a], "stop_len_b": [int(x) for x in sl_b],
+            "stop_len_agree": bool((sl_a == sl_b).all()),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+
     controls = [
         xla_vs_quantized("CONTROL_xla_f32_vs_xla_bf16wts[forward]", cfg0),
         xla_vs_quantized(
             "CONTROL_xla_f32_vs_xla_bf16wts[forward_anti_repeat]",
+            dataclasses.replace(cfg0, anti_repeat=True),
+        ),
+        xla_vs_eps("CONTROL_xla_f32_vs_xla_f32_eps1e-7[forward]", cfg0),
+        xla_vs_eps(
+            "CONTROL_xla_f32_vs_xla_f32_eps1e-7[forward_anti_repeat]",
             dataclasses.replace(cfg0, anti_repeat=True),
         ),
     ]
