@@ -201,9 +201,9 @@ def main():
     # reimplementation at ANY precision can track it to 1e-3 over 220 AR
     # steps, and whole-trajectory max|dmel| stops being a meaningful parity
     # metric (alignment agreement and stop length +-1 are).
-    def xla_vs_eps(name, cfg):
+    def xla_vs_eps(name, cfg, eps=1e-7):
         q = jax.tree.map(
-            lambda x: x * (1.0 + 1e-7) if hasattr(x, "astype") else x, params
+            lambda x: x * (1.0 + eps) if hasattr(x, "astype") else x, params
         )
         B, T_in = inputs.shape
         memory, _ = TT2.encode(params, cfg, inputs, lens, False, jax.random.PRNGKey(1))
@@ -236,8 +236,34 @@ def main():
             "CONTROL_xla_f32_vs_xla_f32_eps1e-7[forward_anti_repeat]",
             dataclasses.replace(cfg0, anti_repeat=True),
         ),
+        # measured at trained weights: eps=1e-6 reproduces the kernel's
+        # anti-repeat row exactly — dmel ~2.1 AND the same 177->176 stop
+        # flip — on the UNMODIFIED XLA path; the kernel's delta sits
+        # inside the eps=1e-6 chaos envelope
+        xla_vs_eps(
+            "CONTROL_xla_f32_vs_xla_f32_eps1e-6[forward_anti_repeat]",
+            dataclasses.replace(cfg0, anti_repeat=True), eps=1e-6,
+        ),
     ]
 
+    provenance["note"] = (
+        "Per-step math is pinned exactly by the interpret-mode tests (f32, "
+        "greedy). On-chip rows measure whole-trajectory agreement of 220-frame "
+        "autoregressive decodes. Round 4 adds kernel_weights_dtype=f32 rows "
+        "(weights AND kv f32 in VMEM: the kernel has NO remaining quantization "
+        "vs the XLA path) and epsilon controls. Findings: at random-init "
+        "weights every f32 row converges outright (<=2e-4, argmax 1.0, stop "
+        "exact). At trained weights the forward-attention trajectory is "
+        "CHAOTIC: the eps controls show a relative 1e-7 weight perturbation on "
+        "the unmodified XLA path produces dmel 0.11-0.67, and eps=1e-6 "
+        "reproduces the anti-repeat row's dmel (~2.1) AND its exact 177->176 "
+        "stop-length flip. The f32 kernel's deltas (0.23 forward / 1.9 "
+        "anti-repeat, argmax 1.0 / 0.85, stop exact / +-1 frame) sit inside "
+        "that eps=1e-6 envelope — whole-trajectory max|dmel| is not a "
+        "meaningful parity metric in this regime for ANY reimplementation; "
+        "decision-level metrics agree. lsa/gmm/graves/r2 rows agree to "
+        "<=5e-4 outright."
+    )
     artifact = {"provenance": provenance, "backend": jax.devices()[0].platform,
                 "device": str(jax.devices()[0]), "rows": rows,
                 "precision_controls": controls}
