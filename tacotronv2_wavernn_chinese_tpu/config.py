@@ -170,16 +170,18 @@ class TacotronTrainConfig:
     # unroll=2, 58.1 at 4; numerically identical outputs)
     scan_unroll: int = 2
     # fused Pallas training decoder (ops/tacotron_trainer_kernel.py — custom
-    # VJP over the teacher-forced scan): "auto" uses it on TPU whenever the
-    # config/shape qualify (forward attention, ratio 1.0, T_in <= 256);
-    # "on" forces it (interpret-mode on CPU is test-only); "off" disables.
-    # Default OFF: measured v5e B=32 73.5 ms/step vs 55.6 for the XLA scan —
-    # the sequential 8-row Mosaic groups currently cost more than the
-    # per-step fusion saves (see ops/tacotron_trainer_kernel.py docstring).
-    fused_decoder: str = "off"
+    # VJP over the teacher-forced scan): "auto" (default) uses it on TPU
+    # whenever the config/shape qualify (forward attention, ratio 1.0,
+    # T_in <= 256) AND batch <= fused_auto_max_batch; "on" forces it
+    # (interpret-mode on CPU is test-only); "off" disables.
+    fused_decoder: str = "auto"
+    # measured crossover (v5e, T_out=512, marginal whole-step): B=8 fused
+    # 12.1 ms vs scan 18.2 (1.50x); B=16 22.7 vs 23.0; B=32 the scan wins
+    # 31.7 vs 43.6 (sequential 8-row Mosaic groups).  See BASELINE.md.
+    fused_auto_max_batch: int = 16
     # weight-gradient layout of the fused backward: "accum" keeps them in
-    # VMEM via per-chunk MXU reductions (no [T, B, 4u] adjoint streams);
-    # "stream" is the round-3 stream+outside-einsum layout
+    # VMEM via per-chunk MXU reductions (no [T, B, 4u] adjoint streams, no
+    # scoped-vmem compiler flag); "stream" is the round-3 layout
     fused_wgrads: str = "accum"
     fine_tune: bool = False  # freeze embedding+encoder (reference tacotron.py:167-169)
     checkpoint_interval: int = 500

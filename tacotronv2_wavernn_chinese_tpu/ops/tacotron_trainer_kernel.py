@@ -12,14 +12,15 @@ over the reverse scan) wired together with ``jax.custom_vjp``:
     softmax, the forward recursion, context/mu updates, and in backward the
     adjoint chain (LSTM/zoneout/softmax/recursion backward + the location
     conv transpose).  All recurrent state and adjoint state stays in VMEM.
-  * Everything batchable is OUTSIDE the kernels, where XLA runs it as large
-    MXU matmuls: the prenet (pre-scan), the frame/stop projections
-    (post-scan), and — the key design choice — ALL WEIGHT GRADIENTS.  The
-    backward kernel streams per-step adjoint vectors (d_gates1, d_gates2,
-    d_query, d_mu_lin, d_context) to HBM and the custom-vjp wrapper reduces
-    them against the saved activations as [T*B, in] x [T*B, out] einsums.
-    Only the position-coupled gradients (d_keys, d_wcomb, d_v, d_bias) are
-    accumulated inside the kernel.
+  * Everything batchable is OUTSIDE the kernels, where XLA runs it as
+    large MXU matmuls: the prenet (pre-scan) and the frame/stop
+    projections (post-scan).  Weight gradients follow
+    ``tacotron_train.fused_wgrads``: "accum" (default) reduces each
+    chunk's gate/query adjoints against the activation blocks already in
+    VMEM (one [chunk*B, in] x [chunk*B, 4u] MXU contraction per weight
+    segment per chunk) so they never leave the kernel; "stream" (the
+    round-3 layout) streams per-step adjoint vectors to HBM and reduces
+    them outside as [T*B, in] x [T*B, out] einsums.
 
 Scope (train_supported): 'forward' attention (the ACTIVE reference
 configuration, tacotron/models/attention.py:66-231), softmax normalization
@@ -36,31 +37,42 @@ independent custom-vjp instances, so JAX sums their weight cotangents.
 Parity: tests/test_tacotron_trainer_kernel.py checks interpret-mode value
 AND gradient parity against the XLA scan (jax.grad through both paths).
 
-MEASURED STATUS (v5e, B=32, T_out=512, T_in=64, whole train step):
-XLA-scan baseline 59.4 ms; fused path 74.7 ms with the F-width conv at
-16-row groups (fwd-only core 32.9 ms).  The kernel still does not pay for
-itself, so ``tacotron_train.fused_decoder`` defaults to "off"; it remains
-the validated substrate (interpret value+grad parity green).  Findings
-from the F-width round:
-  * The conv factoring (combined [taps, A] -> [taps, F] broadcast-MAC +
-    one F->A MXU matmul per subtile) bought only ~10% on the forward
-    (36.4 -> 32.9 ms): per-group-step cost nearly doubles going 8 -> 16
-    rows, i.e. the kernel is VPU-THROUGHPUT-bound on the tap MACs
-    (B*wdt*F*taps multiplies per step), not latency-bound — wider groups
-    don't help until the conv leaves the VPU.
-  * An im2col-staging + MXU-matmul conv measured SLOWER still (82 ms
-    whole-step): the 31 per-lane stores into a [B, wdt, taps] scratch
-    relayout heavily.  A profitable MXU conv needs the im2col to be
-    staged lane-contiguously (e.g. taps on sublanes), which changes the
-    window layout wholesale.
-  * At 16/32-row groups XLA places the streamed [T, B, 4u] gate-adjoint
-    outputs in scoped VMEM and overflows the 16 MB default
-    (raiseable per-jit via compiler_options
-    xla_tpu_scoped_vmem_limit_kib, which the B=32 numbers above used).
-    Accumulating the weight gradients IN-kernel (rank-B MXU updates per
-    step) would remove those two giant streams entirely and is the
-    highest-leverage structural change left, ahead of chunk-boundary
-    rematerialization of the remaining saves.
+MEASURED STATUS (round 4; v5e, T_out=512, T_in=64, MARGINAL whole-step
+cost via device-side repetition — single-dispatch timings through the axon
+tunnel carry a ~31.4 ms constant that inflated every round-3 number):
+
+  whole train step, XLA scan vs fused (wgrads="accum"):
+      B=8   18.2 ms  vs  12.1 ms   -> fused WINS 1.50x
+      B=16  23.0 ms  vs  22.7 ms   -> parity
+      B=32  31.7 ms  vs  43.6 ms   -> scan wins (4 sequential 8-row groups)
+
+  ``fused_decoder`` therefore defaults to "auto": fused on TPU for
+  B <= fused_auto_max_batch (16), the scan above.  The scan's per-step HBM
+  weight restream is B-independent, so small batches (the reference's
+  speaker-adaptation/fine-tune regime, tacotron.py:167-169) pay it
+  undiluted and the VMEM-resident kernel wins; at B=32 the kernel's
+  sequential Mosaic groups lose.  Per-group marginals: forward 2.16 ms
+  (4.2 us/step — at the inference kernel's efficiency), backward 7.35 ms
+  (3.4x forward: the attention backward's VPU/relayout work + skinny
+  [8, .] matmuls at ~6% MXU row utilization).
+
+  Structural attacks measured across rounds 3-4, for the record:
+  * F-width conv factoring (r3): ~10% on the forward; VPU-bound.
+  * im2col+MXU conv (r3): slower (per-lane staging relayouts).
+  * In-kernel weight-grad accumulation (r4, wg="accum", this module):
+    per-chunk [chunk*B, in] x [chunk*B, 4u] MXU reductions against
+    in-VMEM activation blocks; bf16 residual saves/streams/accumulators.
+    Whole-step ~equal to the stream layout at 8 rows (7.35 vs 7.27 ms/
+    group backward — the streams were never the 8-row bottleneck) but
+    structurally better: no [T, B, 4u] adjoint streams, no scoped-vmem
+    compiler override, ~5 ms faster at B=32 whole-step.
+  * Wider Mosaic groups (r4): forward is VPU-bound (16 rows = 2x the
+    8-row cost, no amortization); accum backward at 16 rows needs 24.9 MB
+    VMEM (> 16) from row-scaled temporaries.
+  The serial recurrence floor (~3 us/step of chained matmul latency) is
+  ~5x below BOTH paths; neither implementation is latency-bound, and no
+  remaining single idea is sized to close the B=32 gap (see BASELINE.md
+  "Training-throughput axis: closure").
 """
 
 from __future__ import annotations
@@ -76,6 +88,20 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import TacotronModelConfig
 
 Params = Dict[str, Any]
+
+# experiment knobs (read at trace time; defaults are the production tuning)
+TUNE = {
+    # accum-mode backward stream chunk; 4 has the most VMEM headroom,
+    # 8 gives K=64 chunk reductions
+    "accum_bwd_chunk": 4,
+    # accum-mode Mosaic group rows: every [rows, .] matmul pays the same
+    # K-streaming cycles regardless of rows <= 128, so wider groups
+    # amortize the MXU chain across rows instead of serializing groups
+    "accum_group": 8,
+    # residual saves dtype: "kernel" follows the weight dtype (bf16 on the
+    # perf path), "f32" forces full-precision saves
+    "saves_dtype": "kernel",
+}
 
 
 def train_supported(cfg: TacotronModelConfig) -> bool:
@@ -172,24 +198,29 @@ def _fwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         # train: carry = mask*new + (1-mask)*prev (layers.zoneout masks);
         # eval: EMA (1-z)*new + z*prev (reference modules.py:131-142)
         if use_masks:
-            return m * new + (1.0 - m) * prev
+            return m.astype(f32) * new + (1.0 - m.astype(f32)) * prev
         if zoneout == 0.0:
             return new
         return (1.0 - zoneout) * new + zoneout * prev
+
+    def save(name, s, val):
+        # residual saves ride HBM in the kernel dtype (bf16 on the perf
+        # path — halves the save/restream traffic; f32 in parity mode)
+        outs[name][s] = val.astype(outs[name].dtype)
 
     def body(s, _):
         c1, h1, c2, h2 = c1S[:], h1S[:], c2S[:], h2S[:]
         ctx, alpha, cum, mu = ctxS[:], alphaS[:], cumS[:], muS[:, 0:1]
         # save pre-step state for the backward recompute
-        outs["c1p"][s] = c1
-        outs["h1p"][s] = h1
-        outs["c2p"][s] = c2
-        outs["h2p"][s] = h2
-        outs["ctxp"][s] = ctx
-        outs["alphap"][s] = alpha
-        outs["mup"][s] = jnp.broadcast_to(mu, (B, 128))  # col 0 = mu
+        save("c1p", s, c1)
+        save("h1p", s, h1)
+        save("c2p", s, c2)
+        save("h2p", s, h2)
+        save("ctxp", s, ctx)
+        save("alphap", s, alpha)
+        save("mup", s, jnp.broadcast_to(mu, (B, 128)))  # col 0 = mu
 
-        p = p_ref[s]
+        p = p_ref[s].astype(f32)
         g1 = _mm(p, W["l1_pre"]) + _mm(ctx, W["l1_ctx"]) + _mm(h1, W["l1_h"]) + W["l1_b"][:].astype(f32)
         _, _, _, _, new_c1, new_h1 = _lstm_gates_fwd(g1, c1)
         c1n = zmix(new_c1, c1, mc1_ref[s] if use_masks else None)
@@ -262,11 +293,11 @@ def _fwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
             _mm(ctx_new, W["mu_c"]) + _mm(out2, W["mu_q"]) + W["mu_b"][:].astype(f32)
         )[:, 0:1]
 
-        outs["out1"][s] = out1
-        outs["out2"][s] = out2
+        save("out1", s, out1)
+        outs["out2"][s] = out2  # primal outputs stay f32
         outs["ctx"][s] = ctx_new
         outs["align"][s] = align
-        outs["align_sm"][s] = align_sm
+        save("align_sm", s, align_sm)
         c1S[:] = c1n
         h1S[:] = h1n
         c2S[:] = c2n
@@ -297,7 +328,11 @@ def _fwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
 # the end.  Only d_p (the prenet cotangent, computed in-kernel), d_mulin
 # and d_ctx_tot still stream — together ~1/4 the bytes of one gate stream.
 BWD_OUTS = ("d_g1", "d_g2", "d_q", "d_mulin", "d_ctx_tot")
-BWD_OUTS_ACCUM = ("d_p", "d_mulin", "d_ctx_tot")
+# accum packs d_mulin into d_ctxmu's 128-column tail so NO 2D [chunk, B]
+# output block remains — that block's div-8 sublane constraint is what
+# pinned the backward chunk at 8; 3D blocks leave the leading (chunk) dim
+# free, letting accum restream at chunk 4 for VMEM headroom
+BWD_OUTS_ACCUM = ("d_p", "d_ctxmu")
 BWD_ACCS = ("d_keys", "d_conv", "d_wloc", "d_v", "d_ball")
 # weight-gradient accumulators (accum mode): segment layout mirrors
 # CORE_WEIGHTS; biases collect [B, 4u] per-example partials like d_v
@@ -342,25 +377,26 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
 
     def body(s_rev, _):
         s = chunk - 1 - s_rev
-        # reconstruct cum_{t-1} (the conv input of this step)
-        align_sm = saves["align_sm"][s]
+        # reconstruct cum_{t-1} (the conv input of this step); saves are
+        # upcast from the kernel dtype (bf16 on the perf path)
+        align_sm = saves["align_sm"][s].astype(f32)
         cum_prev = cumS[:] - align_sm
         cumS[:] = cum_prev
 
-        out1, out2 = saves["out1"][s], out2_ref[s]
+        out1, out2 = saves["out1"][s].astype(f32), out2_ref[s]
         ctx_t, align_t = ctx_ref[s], align_ref[s]
-        c1p, h1p = saves["c1p"][s], saves["h1p"][s]
-        c2p, h2p = saves["c2p"][s], saves["h2p"][s]
-        ctxp, alphap = saves["ctxp"][s], saves["alphap"][s]
-        mup = saves["mup"][s][:, 0:1]
+        c1p, h1p = saves["c1p"][s].astype(f32), saves["h1p"][s].astype(f32)
+        c2p, h2p = saves["c2p"][s].astype(f32), saves["h2p"][s].astype(f32)
+        ctxp, alphap = saves["ctxp"][s].astype(f32), saves["alphap"][s].astype(f32)
+        mup = saves["mup"][s][:, 0:1].astype(f32)
 
         a_c1, a_h1 = ac1S[:], ah1S[:]
         a_c2, a_h2 = ac2S[:], ah2S[:]
         a_ctx, a_alpha, a_cum, a_mu = actxS[:], aalphaS[:], acumS[:], amuS[:, 0:1]
 
-        d_out2 = gout2_ref[s]
-        d_ctx_tot = gctx_ref[s] + a_ctx
-        d_align_tot = galign_ref[s] + a_alpha
+        d_out2 = gout2_ref[s].astype(f32)
+        d_ctx_tot = gctx_ref[s].astype(f32) + a_ctx
+        d_align_tot = galign_ref[s].astype(f32) + a_alpha
 
         # M: mu_t = sigmoid(ctx_t.mu_c + out2.mu_q + mu_b) — recompute
         mu_t = jax.nn.sigmoid(
@@ -369,8 +405,14 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         d_lin = a_mu * mu_t * (1.0 - mu_t)  # [B, 1]
         d_ctx_tot = d_ctx_tot + _mmT(d_lin, W["mu_c"])
         d_out2 = d_out2 + _mmT(d_lin, W["mu_q"])
-        outs["d_mulin"][s] = d_lin[:, 0]
-        outs["d_ctx_tot"][s] = d_ctx_tot
+        if wg == "accum":
+            outs["d_ctxmu"][s, :, :V] = d_ctx_tot.astype(outs["d_ctxmu"].dtype)
+            outs["d_ctxmu"][s, :, V:] = jnp.broadcast_to(
+                d_lin, (B, 128)
+            ).astype(outs["d_ctxmu"].dtype)
+        else:
+            outs["d_mulin"][s] = d_lin[:, 0]
+            outs["d_ctx_tot"][s] = d_ctx_tot.astype(outs["d_ctx_tot"].dtype)
 
         # L: ctx = align . values -> d_align[b,t] += sum_v d_ctx[b,v]*values[b,t,v]
         # (assembled tile-by-tile via the energyS scratch, VPU mul+reduce —
@@ -449,8 +491,8 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
             )
             accs["d_ball"][:, :] = accs["d_ball"][:, :] + jnp.sum(d_th, axis=1)
             accs["d_keys"][:, lo : lo + wdt, :] = (
-                accs["d_keys"][:, lo : lo + wdt, :] + d_th
-            )
+                accs["d_keys"][:, lo : lo + wdt, :].astype(f32) + d_th
+            ).astype(accs["d_keys"].dtype)
             d_q_acc = d_q_acc + jnp.sum(d_th, axis=1)
             d2 = d_th.reshape(B * wdt, A)
             # loc enters the tanh argument additively, so d_loc = d_th;
@@ -483,7 +525,7 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         # E: d_out2 += d_q . wq^T
         d_out2 = d_out2 + _mmT(d_q_acc, W["wq"])
         if wg == "accum":
-            dqC[s] = d_q_acc
+            dqC[s] = d_q_acc.astype(dqC.dtype)
         else:
             outs["d_q"][s] = d_q_acc
 
@@ -492,7 +534,7 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         si, tj, sf, so, new_c2, new_h2 = _lstm_gates_fwd(g2, c2p)
         th_c2 = jnp.tanh(new_c2)
         if use_masks:
-            m_c, m_h = mc2_ref[s], mh2_ref[s]
+            m_c, m_h = mc2_ref[s].astype(f32), mh2_ref[s].astype(f32)
         elif zoneout == 0.0:
             m_c = m_h = 1.0
         else:
@@ -506,19 +548,20 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         d_o = d_new_h2 * th_c2 * so * (1.0 - so)
         d_g2 = jnp.concatenate([d_i, d_j, d_f, d_o], axis=-1)
         if wg == "accum":
-            dg2C[s] = d_g2
+            dg2C[s] = d_g2.astype(dg2C.dtype)
+            accs["d_g2b"][:, :] = accs["d_g2b"][:, :] + d_g2
         else:
             outs["d_g2"][s] = d_g2
         d_out1 = _mmT(d_g2, W["l2_x"])
         d_h2_prev = a_h2 * (1.0 - m_h) + _mmT(d_g2, W["l2_h"])
 
         # B: LSTM1 backward
-        p = p_ref[s]
+        p = p_ref[s].astype(f32)
         g1 = _mm(p, W["l1_pre"]) + _mm(ctxp, W["l1_ctx"]) + _mm(h1p, W["l1_h"]) + W["l1_b"][:].astype(f32)
         si1, tj1, sf1, so1, new_c1, new_h1 = _lstm_gates_fwd(g1, c1p)
         th_c1 = jnp.tanh(new_c1)
         if use_masks:
-            m_c1, m_h1 = mc1_ref[s], mh1_ref[s]
+            m_c1, m_h1 = mc1_ref[s].astype(f32), mh1_ref[s].astype(f32)
         elif zoneout == 0.0:
             m_c1 = m_h1 = 1.0
         else:
@@ -532,10 +575,11 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         d_o1 = d_new_h1 * th_c1 * so1 * (1.0 - so1)
         d_g1 = jnp.concatenate([d_i1, d_j1, d_f1, d_o1], axis=-1)
         if wg == "accum":
-            dg1C[s] = d_g1
+            dg1C[s] = d_g1.astype(dg1C.dtype)
+            accs["d_g1b"][:, :] = accs["d_g1b"][:, :] + d_g1
             # the prenet cotangent leaves the kernel in place of the whole
             # gate adjoint: [B, pre] instead of [B, 4u]
-            outs["d_p"][s] = _mmT(d_g1, W["l1_pre"])
+            outs["d_p"][s] = _mmT(d_g1, W["l1_pre"]).astype(outs["d_p"].dtype)
         else:
             outs["d_g1"][s] = d_g1
         d_h1_prev = a_h1 * (1.0 - m_h1) + _mmT(d_g1, W["l1_h"])
@@ -566,12 +610,14 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         dq = dqC[...].reshape(chunk * B, A)
 
         def red(acc_ref, x, d):
-            acc_ref[:, :] = acc_ref[:, :] + jax.lax.dot_general(
-                x.reshape(chunk * B, x.shape[-1]).astype(mm_dt),
-                d.astype(mm_dt),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            acc_ref[:, :] = (
+                acc_ref[:, :].astype(jnp.float32) + jax.lax.dot_general(
+                    x.reshape(chunk * B, x.shape[-1]).astype(mm_dt),
+                    d.astype(mm_dt),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(acc_ref.dtype)
 
         red(accs["d_l1pre"], p_ref[...], dg1)
         red(accs["d_l1ctx"], saves["ctxp"][...], dg1)
@@ -579,9 +625,6 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
         red(accs["d_l2x"], saves["out1"][...], dg2)
         red(accs["d_l2h"], saves["h2p"][...], dg2)
         red(accs["d_wq"], out2_ref[...], dq)
-        # bias partials stay per-example rows (reduced outside, like d_v)
-        accs["d_g1b"][:, :] = accs["d_g1b"][:, :] + jnp.sum(dg1C[...], axis=0)
-        accs["d_g2b"][:, :] = accs["d_g2b"][:, :] + jnp.sum(dg2C[...], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -625,9 +668,10 @@ def _fwd_call(static, weights, p_seq, masks, keys, values, mem_mask):
     T_pad = n_chunks * chunk
     f32 = jnp.float32
 
-    p_pad = _pad_T(p_seq.astype(f32), T_pad)
+    p_pad = _pad_T(p_seq.astype(dtype), T_pad)
     if use_masks:
-        m_pad = [_pad_T(m.astype(f32), T_pad) for m in masks]
+        # zoneout masks are exact 0/1 floats — bf16 loses nothing
+        m_pad = [_pad_T(m.astype(dtype), T_pad) for m in masks]
         m_specs = [ck(B, u)] * 4
     else:
         m_pad = [jnp.zeros((1, 1, 1), f32)] * 4
@@ -636,19 +680,23 @@ def _fwd_call(static, weights, p_seq, masks, keys, values, mem_mask):
     kv_dtype = dtype
     dims = (B, T_in, pre, u, V, A, taps, float(zoneout), bool(use_masks))
 
+    # residual saves ride HBM in the kernel dtype (bf16 halves the fwd
+    # save-write + bwd restream traffic AND the stream VMEM windows);
+    # the three primal outputs stay f32
+    sdt = dtype if TUNE["saves_dtype"] == "kernel" else f32
     out_shapes = [
         jax.ShapeDtypeStruct((T_pad, B, u), f32),      # out2
         jax.ShapeDtypeStruct((T_pad, B, V), f32),      # ctx
         jax.ShapeDtypeStruct((T_pad, B, T_in), f32),   # align
-        jax.ShapeDtypeStruct((T_pad, B, T_in), f32),   # align_sm
-        jax.ShapeDtypeStruct((T_pad, B, u), f32),      # out1
-        jax.ShapeDtypeStruct((T_pad, B, u), f32),      # c1p
-        jax.ShapeDtypeStruct((T_pad, B, u), f32),      # h1p
-        jax.ShapeDtypeStruct((T_pad, B, u), f32),      # c2p
-        jax.ShapeDtypeStruct((T_pad, B, u), f32),      # h2p
-        jax.ShapeDtypeStruct((T_pad, B, V), f32),      # ctxp
-        jax.ShapeDtypeStruct((T_pad, B, T_in), f32),   # alphap
-        jax.ShapeDtypeStruct((T_pad, B, 128), f32),    # mup (col 0)
+        jax.ShapeDtypeStruct((T_pad, B, T_in), sdt),   # align_sm
+        jax.ShapeDtypeStruct((T_pad, B, u), sdt),      # out1
+        jax.ShapeDtypeStruct((T_pad, B, u), sdt),      # c1p
+        jax.ShapeDtypeStruct((T_pad, B, u), sdt),      # h1p
+        jax.ShapeDtypeStruct((T_pad, B, u), sdt),      # c2p
+        jax.ShapeDtypeStruct((T_pad, B, u), sdt),      # h2p
+        jax.ShapeDtypeStruct((T_pad, B, V), sdt),      # ctxp
+        jax.ShapeDtypeStruct((T_pad, B, T_in), sdt),   # alphap
+        jax.ShapeDtypeStruct((T_pad, B, 128), sdt),    # mup (col 0)
     ]
     out_specs = [
         ck(B, u), ck(B, V), ck(B, T_in), ck(B, T_in), ck(B, u),
@@ -699,6 +747,10 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
     chunk_b = 8
     if chunk != chunk_b and T_pad % chunk_b == 0:
         chunk = chunk_b
+    if wg == "accum" and T_pad % TUNE["accum_bwd_chunk"] == 0:
+        # accum adds ~3 MB of VMEM weight-grad accumulators; the smaller
+        # chunk shrinks the stream windows to stay under the 16 MB budget
+        chunk = TUNE["accum_bwd_chunk"]
     n_chunks = T_pad // chunk
     rck = lambda *shape: pl.BlockSpec(
         (chunk,) + shape, lambda i, n=n_chunks: (n - 1 - i,) + (0,) * len(shape),
@@ -706,9 +758,9 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
     )
     f32 = jnp.float32
 
-    p_pad = _pad_T(p_seq.astype(f32), T_pad)
+    p_pad = _pad_T(p_seq.astype(dtype), T_pad)
     if use_masks:
-        m_pad = [_pad_T(m.astype(f32), T_pad) for m in masks]
+        m_pad = [_pad_T(m.astype(dtype), T_pad) for m in masks]
         m_specs = [rck(B, u)] * 4
     else:
         m_pad = [jnp.zeros((1, 1, 1), f32)] * 4
@@ -720,38 +772,40 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
     # saves: full FWD_OUTS tuple (already padded, [T_pad, ...])
     out2_s, ctx_s, align_s = saves[0], saves[1], saves[2]
     resid = saves[3:]  # align_sm..mup
-    g_out2, g_ctx, g_align = [_pad_T(c.astype(f32), T_pad) for c in cots]
+    # cotangent streams ride the kernel dtype in accum mode (upcast on
+    # read); padded steps stay exact zeros either way
+    cdt = dtype if wg == "accum" else f32
+    g_out2, g_ctx, g_align = [_pad_T(c.astype(cdt), T_pad) for c in cots]
     one_hot = (jax.lax.broadcasted_iota(jnp.int32, (B, T_in), 1) == 0).astype(f32)
-    cum_T = one_hot + jnp.sum(resid[0], axis=0)  # init + sum(align_sm)
+    cum_T = one_hot + jnp.sum(resid[0].astype(f32), axis=0)  # init + sum(align_sm)
 
     const3 = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     if wg == "accum":
         out_shapes = [
-            jax.ShapeDtypeStruct((T_pad, B, pre), f32),    # d_p
-            jax.ShapeDtypeStruct((T_pad, B), f32),         # d_mulin
-            jax.ShapeDtypeStruct((T_pad, B, V), f32),      # d_ctx_tot
-            jax.ShapeDtypeStruct((B, T_in, A), f32),       # d_keys
+            jax.ShapeDtypeStruct((T_pad, B, pre), dtype),  # d_p
+            jax.ShapeDtypeStruct((T_pad, B, V + 128), dtype),  # d_ctxmu
+            jax.ShapeDtypeStruct((B, T_in, A), dtype),     # d_keys
             jax.ShapeDtypeStruct((taps, F_loc), f32),      # d_conv
             jax.ShapeDtypeStruct((F_loc, A), f32),         # d_wloc
             jax.ShapeDtypeStruct((B, A), f32),             # d_v (per-example rows)
             jax.ShapeDtypeStruct((B, A), f32),             # d_ball (per-example rows)
-            jax.ShapeDtypeStruct((pre, 4 * u), f32),       # d_l1pre
-            jax.ShapeDtypeStruct((V, 4 * u), f32),         # d_l1ctx
-            jax.ShapeDtypeStruct((u, 4 * u), f32),         # d_l1h
+            jax.ShapeDtypeStruct((pre, 4 * u), dtype),     # d_l1pre
+            jax.ShapeDtypeStruct((V, 4 * u), dtype),       # d_l1ctx
+            jax.ShapeDtypeStruct((u, 4 * u), dtype),       # d_l1h
             jax.ShapeDtypeStruct((B, 4 * u), f32),         # d_g1b (rows)
-            jax.ShapeDtypeStruct((u, 4 * u), f32),         # d_l2x
-            jax.ShapeDtypeStruct((u, 4 * u), f32),         # d_l2h
+            jax.ShapeDtypeStruct((u, 4 * u), dtype),       # d_l2x
+            jax.ShapeDtypeStruct((u, 4 * u), dtype),       # d_l2h
             jax.ShapeDtypeStruct((B, 4 * u), f32),         # d_g2b (rows)
-            jax.ShapeDtypeStruct((u, A), f32),             # d_wq
+            jax.ShapeDtypeStruct((u, A), dtype),           # d_wq
         ]
         out_specs = [
-            rck(B, pre), rck(B), rck(B, V),
+            rck(B, pre), rck(B, V + 128),
             *[const3() for _ in range(13)],
         ]
         extra_scratch = [
-            pltpu.VMEM((chunk, B, 4 * u), f32),  # dg1C
-            pltpu.VMEM((chunk, B, 4 * u), f32),  # dg2C
-            pltpu.VMEM((chunk, B, A), f32),      # dqC
+            pltpu.VMEM((chunk, B, 4 * u), dtype),  # dg1C
+            pltpu.VMEM((chunk, B, 4 * u), dtype),  # dg2C
+            pltpu.VMEM((chunk, B, A), dtype),      # dqC
         ]
     else:
         out_shapes = [
@@ -885,21 +939,30 @@ def _core_bwd_accum(static, res, cots):
     weights, p_seq, masks, keys, values, mem_mask, saves = res
     T = static[2]
     f32 = jnp.float32
-    (d_p, d_mulin, d_ctx_tot, d_keys, d_conv, d_wloc, d_v, d_ball,
+    (d_p, d_ctxmu, d_keys, d_conv, d_wloc, d_v, d_ball,
      d_l1pre, d_l1ctx, d_l1h, d_g1b, d_l2x, d_l2h, d_g2b, d_wq) = _bwd_call(
         static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
     )
+    # streams/accumulators ride the kernel dtype; cotangents must match
+    # their (f32) primals.  d_mulin rides d_ctxmu's column V (the tail is
+    # its 128-wide broadcast).
+    V = d_ctxmu.shape[-1] - 128
+    d_p = d_p.astype(f32)
+    d_ctx_tot = d_ctxmu[:, :, :V].astype(f32)
+    d_mulin = d_ctxmu[:, :, V].astype(f32)
+    d_keys = d_keys.astype(f32)
     (out2_s, ctx_s, align_s, *_rest) = saves
     hp = "highest"
+    f32c = lambda x: x.astype(f32)  # accumulators ride the kernel dtype
     dW = (
-        d_l1pre,                                                          # l1_pre
-        d_l1ctx,                                                          # l1_ctx
-        d_l1h,                                                            # l1_h
+        f32c(d_l1pre),                                                    # l1_pre
+        f32c(d_l1ctx),                                                    # l1_ctx
+        f32c(d_l1h),                                                      # l1_h
         jnp.sum(d_g1b, axis=0)[None],                                     # l1_b
-        d_l2x,                                                            # l2_x
-        d_l2h,                                                            # l2_h
+        f32c(d_l2x),                                                      # l2_x
+        f32c(d_l2h),                                                      # l2_h
         jnp.sum(d_g2b, axis=0)[None],                                     # l2_b
-        d_wq,                                                             # wq
+        f32c(d_wq),                                                       # wq
         d_conv,                                                           # w_conv
         d_wloc,                                                           # w_loc
         jnp.sum(d_ball, axis=0, keepdims=True),                           # ball
@@ -981,7 +1044,7 @@ def fused_core_apply(
     # double-buffered windows under budget.  Accum mode adds ~6 MB of
     # weight-gradient accumulators to the backward kernel's VMEM, so it
     # stays at 8-row groups (the accumulators don't scale with rows).
-    group = (16 if B >= 16 else B) if wgrads != "accum" else min(B, 8)
+    group = (16 if B >= 16 else B) if wgrads != "accum" else min(B, TUNE["accum_group"])
     outs = []
     for start in range(0, B, group):
         end = min(start + group, B)
@@ -989,8 +1052,13 @@ def fused_core_apply(
         # forward stream chunk: the VMEM knob (windows scale with chunk*Bg).
         # The backward always restreams at chunk 8 (its 2D [chunk, B]
         # d_mulin block needs a div-8 sublane dim); _fwd_call pads T_pad to
-        # a multiple of 8 so both grids tile it.
-        chunk_g = int(chunk) if Bg <= 8 else 4
+        # a multiple of 8 so both grids tile it.  Accum mode: chunk 8
+        # measured faster than 16 on the forward (33.8 vs 37.8 ms at
+        # B=32/T=512) and matches the backward's chunk.
+        if wgrads == "accum":
+            chunk_g = 8
+        else:
+            chunk_g = int(chunk) if Bg <= 8 else 4
         static = (
             Bg, T_in, T, chunk_g, pre, u, V, A, taps,
             float(cfg.zoneout_rate), use_masks, bool(interpret), dt,

@@ -142,7 +142,15 @@ def init_state(key, cfg: Config) -> TrainState:
 def _use_fused_decoder(cfg: Config, batch, teacher_forcing_ratio) -> bool:
     """Route through the fused Pallas training decoder
     (ops/tacotron_trainer_kernel.py) when the config and shapes qualify.
-    "auto" additionally requires the TPU backend (Mosaic-only lowering)."""
+
+    "auto" (the default) requires the TPU backend (Mosaic-only lowering)
+    AND batch <= fused_auto_max_batch: the VMEM-resident kernel pair beats
+    the XLA scan 1.50x at B=8 (12.1 vs 18.2 ms marginal whole-step,
+    T_out=512 v5e — the scan's per-step HBM weight restream is
+    B-independent, so small batches pay it undiluted) and ties at B=16
+    (22.7 vs 23.0); at B>=32 the kernel's sequential 8-row Mosaic groups
+    lose (43.6 vs 31.7) and the scan is the right path.  Measured in
+    exp_tk_sweep/BASELINE.md (round 4)."""
     mode = cfg.tacotron_train.fused_decoder
     if mode == "off":
         return False
@@ -162,6 +170,8 @@ def _use_fused_decoder(cfg: Config, batch, teacher_forcing_ratio) -> bool:
         return False
     if mode == "on":
         return True
+    if batch["inputs"].shape[0] > cfg.tacotron_train.fused_auto_max_batch:
+        return False
     from ..utils import is_tpu_backend
 
     return is_tpu_backend()

@@ -48,6 +48,33 @@ def test_supported_gate():
     assert TK.train_supported(dataclasses.replace(cfg, outputs_per_step=3))
 
 
+def test_auto_routing_batch_crossover(monkeypatch):
+    """fused_decoder='auto' routes by the measured crossover: fused for
+    B <= fused_auto_max_batch on TPU (1.50x at B=8), the XLA scan above
+    (the scan wins at B=32)."""
+    from tacotronv2_wavernn_chinese_tpu.train import tacotron_task as TT
+    from tacotronv2_wavernn_chinese_tpu.utils import is_tpu_backend  # noqa: F401
+
+    monkeypatch.setattr(
+        "tacotronv2_wavernn_chinese_tpu.utils.is_tpu_backend", lambda: True
+    )
+    cfg = default_config()
+
+    def batch_of(b):
+        return {"inputs": np.zeros((b, 64), np.int32)}
+
+    assert TT._use_fused_decoder(cfg, batch_of(8), 1.0)
+    assert TT._use_fused_decoder(cfg, batch_of(16), 1.0)
+    assert not TT._use_fused_decoder(cfg, batch_of(32), 1.0)  # scan wins
+    # "on" forces regardless of batch; "off" disables
+    assert TT._use_fused_decoder(cfg.override("tacotron_train.fused_decoder=on"), batch_of(32), 1.0)
+    assert not TT._use_fused_decoder(cfg.override("tacotron_train.fused_decoder=off"), batch_of(8), 1.0)
+    # dynamic scheduled-sampling ratio falls back to the scan
+    import jax.numpy as jnp2
+
+    assert not TT._use_fused_decoder(cfg, batch_of(8), jnp2.float32(0.9))
+
+
 @pytest.mark.parametrize("train", [True, False])
 def test_value_parity(setup, train):
     """Teacher-forced forward through the fused core matches the XLA scan
@@ -123,6 +150,30 @@ def test_gradient_parity_multi_group(setup):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(a, b, atol=5e-4 * scale + 1e-7)
+
+
+def test_bf16_perf_mode_grad_smoke(setup):
+    """The TPU perf configuration (bf16 weights, bf16 residual saves,
+    bf16 in-kernel weight-grad accumulators) must stay a faithful
+    gradient estimator: every leaf within a few percent of the f32 XLA
+    gradient, relative to the leaf's scale."""
+    cfg, params, inputs, lens, mels = setup
+    rng = jax.random.PRNGKey(17)
+
+    def loss(p, fused, dtype):
+        out, _ = T.forward_teacher_forced(
+            p, cfg, inputs, lens, mels, True, rng,
+            fused_core=fused, fused_interpret=True, fused_dtype=dtype,
+            fused_wgrads="accum",
+        )
+        return jnp.mean(out.decoder_output**2) + jnp.mean(out.stop_logits**2)
+
+    g_ref = jax.grad(lambda p: loss(p, False, None))(params)
+    g_fus = jax.grad(lambda p: loss(p, True, jnp.bfloat16))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_fus)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=5e-2 * scale)
 
 
 def test_value_parity_r2(setup):

@@ -84,6 +84,15 @@ def main():
         "target_lengths": jnp.full((B,), T_out, jnp.int32),
     }
 
+    # the round-3 stream layout needs XLA's scoped-VMEM limit raised for
+    # its [T, B, 4u] adjoint streams at 16-row groups; accum does not —
+    # that is the point.  Applied per-jit (the env flag is rejected).
+    OPTS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    step_scoped = jax.jit(
+        TT.train_step.__wrapped__, static_argnames=("cfg",),
+        donate_argnums=(0,), compiler_options=OPTS,
+    )
+
     # ---- whole-step rows --------------------------------------------------
     for mode, wg in (("off", "-"), ("on", "stream"), ("on", "accum")):
         cfg = cfg0.override(
@@ -92,9 +101,10 @@ def main():
         )
         state = TT.init_state(jax.random.PRNGKey(0), cfg)
         box = [state]
+        step = step_scoped if wg == "stream" else TT.train_step
 
-        def once(k):
-            s2, m = TT.train_step(box[0], batch, k, cfg)
+        def once(k, step=step, cfg=cfg):
+            s2, m = step(box[0], batch, k, cfg)
             box[0] = s2
             return m["loss"]
 
@@ -157,7 +167,7 @@ def main():
             return acc
 
         try:
-            dt_f = timed(jax.jit(fwd_only), key)
+            dt_f = timed(jax.jit(fwd_only, compiler_options=OPTS), key)
         except Exception as e:
             emit(exp="fwd_only", group=Bg, chunk=chunk, error=str(e)[:200])
             continue
@@ -197,7 +207,8 @@ def main():
                 return acc
 
             try:
-                dt_b = timed(jax.jit(bwd_only), key)
+                opts = OPTS if wg == "stream" else None
+                dt_b = timed(jax.jit(bwd_only, compiler_options=opts), key)
             except Exception as e:
                 emit(exp="bwd_only", wg=wg, group=Bg, chunk=chunk, error=str(e)[:200])
                 continue
