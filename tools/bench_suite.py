@@ -197,6 +197,54 @@ def main() -> None:
         steps_per_dispatch=K,
         examples_per_s=round(B * K / dt_k, 1),
     )
+    # MARGINAL per-step cost: (K-dispatch - single-dispatch)/(K-1) cancels
+    # the ~31 ms axon dispatch constant that inflates every single-call
+    # row above (round 4 finding; the true v5e B=32 step is ~31.7 ms, not
+    # ~59 — see BASELINE.md "Training-throughput axis")
+    dt_marg = max((dt_k - dt) / (K - 1), 1e-9)
+    emit("tacotron_train_step_marginal_seconds", dt_marg, "s/step",
+         batch_size=B, frames=T_out,
+         examples_per_s=round(B / dt_marg, 1),
+         **mfu_extra(taco_flops, dt_marg))
+
+    # small-batch fused-kernel regime (fused_decoder="auto" routes B<=16
+    # through the Pallas trainer pair on TPU — the speaker-adaptation /
+    # fine-tune regime; measured 1.50x over the scan at B=8)
+    if on_tpu and not args.quick:
+        try:
+            B_s = 8
+            small = {
+                "inputs": jnp.ones((B_s, T_in), jnp.int32),
+                "input_lengths": jnp.full((B_s,), T_in, jnp.int32),
+                "mel_targets": jnp.zeros((B_s, T_out, 80), jnp.float32),
+                "stop_targets": jnp.ones((B_s, T_out), jnp.float32),
+                "target_lengths": jnp.full((B_s,), T_out, jnp.int32),
+            }
+            smalls = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), small
+            )
+            for fd, label in (("auto", "fused_kernel"), ("off", "xla_scan")):
+                cfg_s = cfg.override(f"tacotron_train.fused_decoder={fd}")
+                s_box = [TT.init_state(jax.random.PRNGKey(0), cfg_s)]
+
+                def train_s(k, cfg_s=cfg_s, s_box=s_box):
+                    s2, m = TT.train_step(s_box[0], small, k, cfg_s)
+                    s_box[0] = s2
+                    return m["loss"]
+
+                def train_s_many(k, cfg_s=cfg_s, s_box=s_box):
+                    s2, m = TT.train_step_many(s_box[0], smalls, k, cfg_s)
+                    s_box[0] = s2
+                    return m["loss"]
+
+                dt1 = timed(train_s, key)
+                dtk = timed(train_s_many, key)
+                marg = max((dtk - dt1) / (K - 1), 1e-9)
+                emit("tacotron_train_step_small_batch_marginal_seconds", marg,
+                     "s/step", batch_size=B_s, path=label,
+                     examples_per_s=round(B_s / marg, 1))
+        except Exception as e:
+            print(f"# small-batch fused train bench skipped: {e}")
 
     # the documented max-throughput training config: B=128, scan_unroll=4,
     # fused K=4 (measured 1450 ex/s on v5e — 2.3x round 2's best row)
@@ -224,6 +272,13 @@ def main() -> None:
         emit("tacotron_train_max_throughput_examples_per_s", B_max * K_max / dt_m,
              "examples/s", batch_size=B_max, steps_per_dispatch=K_max,
              scan_unroll=4, s_per_step=round(dt_m / K_max, 4))
+        # marginal B=128 row (dispatch constant cancelled): dt_b is the
+        # single-dispatch B=128 unroll-4 time from the loop above
+        dt_marg128 = max((dt_m - dt_b) / (K_max - 1), 1e-9)
+        emit("tacotron_train_step_marginal_seconds", dt_marg128, "s/step",
+             batch_size=B_max, frames=T_out, scan_unroll=4,
+             examples_per_s=round(B_max / dt_marg128, 1),
+             **mfu_extra(fl_b, dt_marg128))
 
     # ---- tacotron AR decode ----------------------------------------------
     # Marginal-rate methodology: (a) random-init params fire the stop token
@@ -512,6 +567,12 @@ def main() -> None:
         steps_per_dispatch=K,
         examples_per_s=round(Bw * K / dt_k, 1),
     )
+    # marginal per-step (dispatch constant cancelled; see the tacotron row)
+    wt_marg = max((dt_k - dt) / (K - 1), 1e-9)
+    emit("wavernn_train_step_marginal_seconds", wt_marg, "s/step",
+         batch_size=Bw, seq_len=sf * hop,
+         examples_per_s=round(Bw / wt_marg, 1),
+         **mfu_extra(voc_flops, wt_marg))
 
     # wavernn max-throughput config: B=128 fused K=4 (1070 ex/s measured)
     if not args.quick:
@@ -535,6 +596,11 @@ def main() -> None:
         emit("wavernn_train_max_throughput_examples_per_s", B_max * K_max / dt_m,
              "examples/s", batch_size=B_max, steps_per_dispatch=K_max,
              s_per_step=round(dt_m / K_max, 4))
+        wt_marg128 = max((dt_m - dt_b) / (K_max - 1), 1e-9)
+        emit("wavernn_train_step_marginal_seconds", wt_marg128, "s/step",
+             batch_size=B_max, seq_len=sf * hop,
+             examples_per_s=round(B_max / wt_marg128, 1),
+             **mfu_extra(fl_b, wt_marg128))
 
     # ---- wavernn generation ----------------------------------------------
     T_mel = 500 if args.quick else 3000
