@@ -173,7 +173,7 @@ def main():
     synth.synthesize(long_)
 
     rows = []
-    total = 8 if args.quick else 24
+    total = 8 if args.quick else 48
     conc_list = [1, 4] if args.quick else [1, 4, 8, 16]
 
     httpd = start_server(cfg, synth, port=8761, max_batch=8)
