@@ -53,7 +53,12 @@ def _keys_from_seeds(seeds: Sequence[int]) -> np.ndarray:
     device op costs ~25 ms, so building keys with jnp would dominate a
     serving batch.  tests/test_pipeline_e2e.py pins equality against
     ``jax.random.PRNGKey``."""
-    a = np.asarray(list(seeds), np.uint64)
+    # int64 -> uint64 two's-complement so negative seeds are accepted
+    # (numpy 2 rejects negative ints for uint64; jax.random.PRNGKey's own
+    # negative-seed word split differs, but any deterministic injective
+    # mapping is a valid key — equality with PRNGKey is pinned for the
+    # non-negative range serving actually documents)
+    a = np.asarray(list(seeds), np.int64).astype(np.uint64)
     return np.stack(
         [(a >> np.uint64(32)).astype(np.uint32), (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
         axis=-1,

@@ -491,8 +491,8 @@ def _bwd_kernel(p_ref, mc1_ref, mh1_ref, mc2_ref, mh2_ref, keys_ref, values_ref,
             )
             accs["d_ball"][:, :] = accs["d_ball"][:, :] + jnp.sum(d_th, axis=1)
             accs["d_keys"][:, lo : lo + wdt, :] = (
-                accs["d_keys"][:, lo : lo + wdt, :].astype(f32) + d_th
-            ).astype(accs["d_keys"].dtype)
+                accs["d_keys"][:, lo : lo + wdt, :] + d_th
+            )
             d_q_acc = d_q_acc + jnp.sum(d_th, axis=1)
             d2 = d_th.reshape(B * wdt, A)
             # loc enters the tanh argument additively, so d_loc = d_th;
@@ -784,7 +784,10 @@ def _bwd_call(static, weights, p_seq, masks, keys, values, mem_mask, saves, cots
         out_shapes = [
             jax.ShapeDtypeStruct((T_pad, B, pre), dtype),  # d_p
             jax.ShapeDtypeStruct((T_pad, B, V + 128), dtype),  # d_ctxmu
-            jax.ShapeDtypeStruct((B, T_in, A), dtype),     # d_keys
+            # d_keys accumulates across all T reverse steps — bf16
+            # round-tripping would swallow early-step contributions once
+            # the running sum grows; it stays f32 like d_v/d_ball/d_conv
+            jax.ShapeDtypeStruct((B, T_in, A), f32),       # d_keys
             jax.ShapeDtypeStruct((taps, F_loc), f32),      # d_conv
             jax.ShapeDtypeStruct((F_loc, A), f32),         # d_wloc
             jax.ShapeDtypeStruct((B, A), f32),             # d_v (per-example rows)

@@ -147,8 +147,12 @@ class TTSService:
     serially behind a lock — the classic adaptive-batching server loop.
     The first request in an idle server runs immediately (no added
     latency).  Requests with DISTINCT seeds coalesce too: the synthesizer
-    threads per-example PRNG keys end-to-end, so each request's RANDOM
-    STREAM depends only on its own (text, seed), never on its co-batch.
+    threads per-example PRNG keys end-to-end, so each request's acoustic
+    decode and Griffin-Lim reconstruction depend only on its own
+    (text, seed), never on its co-batch.  (WaveRNN-vocoded serving: the
+    mel is per-request reproducible, but the vocoder's category-sampling
+    dither is drawn over the concatenated fold batch — see
+    Synthesizer.synthesize_batch.)
     (Exactness caveat: different batch shapes compile to different XLA
     programs, so floats can differ by ~1e-7 across batch sizes — at most a
     couple int16 LSBs in served audio.  The reference's serving contract is
@@ -269,7 +273,7 @@ class TTSService:
         """Batched endpoint: one acoustic decode + one fused vocoder call."""
         t0 = time.time()
         with self._device:
-            results = self.synth.synthesize_batch(texts, seed=seed)
+            results = self.synth.synthesize_batch(texts, seed=seed, pad_batch=True)
             with self._mutex:
                 self.n_device_calls += 1
                 self.n_requests += len(texts)

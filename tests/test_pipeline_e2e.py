@@ -165,6 +165,10 @@ def test_per_example_seed_reproducibility(taco_state):
     np.testing.assert_array_equal(
         _keys_from_seeds([0, 7, 123456789])[1], np.asarray(jax.random.PRNGKey(7))
     )
+    # negative seeds must not crash (numpy 2 uint64 rejects negatives) and
+    # must stay deterministic + distinct
+    neg = _keys_from_seeds([-1, -2])
+    assert neg.shape == (2, 2) and not (neg[0] == neg[1]).all()
     params = dict(
         taco_state.params,
         stop_projection=jax.tree.map(
