@@ -202,16 +202,9 @@ def step_rand_from_key(
     return StepRand(pre, z1, z2, att)
 
 
-def is_per_example_keys(rng: jax.Array) -> bool:
-    """True when ``rng`` is a [B]-shaped array of per-example PRNG keys
-    (typed keys with ndim 1, or raw uint32 key data with ndim 2) rather
-    than one key shared by the whole batch.  Per-example keys make each
-    row's random stream a function of its OWN key only, so serving can
-    coalesce requests with distinct seeds into one batch without any
-    request's output depending on what it was co-batched with."""
-    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
-        return rng.ndim == 1
-    return rng.ndim == 2
+# per-example-key detection lives beside kernel_seed (ops PRNG plumbing);
+# re-exported here because the decode entry points document it
+from ..ops import is_per_example_keys  # noqa: E402
 
 
 def decoder_step(

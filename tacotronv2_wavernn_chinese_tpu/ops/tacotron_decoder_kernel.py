@@ -652,7 +652,7 @@ def decode_autoregressive_pallas(
     are always f32 when ``dtype`` itself is f32 (the parity-test mode)."""
     from ..models import attention as ATT
 
-    from ..models.tacotron import is_per_example_keys
+    from . import is_per_example_keys
 
     B, T_in, V = memory.shape
     per_row_keys = is_per_example_keys(rng)

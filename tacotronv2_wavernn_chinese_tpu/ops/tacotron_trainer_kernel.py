@@ -136,6 +136,31 @@ CORE_WEIGHTS = (
     "mu_c", "mu_q", "mu_b",
 )
 
+def pack_core_weights(params: Params, cfg: TacotronModelConfig):
+    """Build the CORE_WEIGHTS tuple from a params tree — shared by
+    ``fused_core_apply`` and the bench/experiment tools so the segment
+    slicing cannot diverge.  The location-conv bias rides through the F->A
+    dense into one merged energy bias, built OUTSIDE the kernel so its
+    cotangent chains to the original params."""
+    pre = cfg.prenet_layers[-1]
+    u = cfg.decoder_lstm_units
+    att = params["attention"]
+    l1 = params["dec_lstm1"]["w"]
+    l2 = params["dec_lstm2"]["w"]
+    V = l1.shape[0] - pre - u
+    w_loc = att["location_layer"]["w"]           # [F, A]
+    w_conv = att["location_conv"]["w"][:, 0]     # [taps, 1, F] -> [taps, F]
+    ball = (
+        jnp.matmul(att["location_conv"]["b"], w_loc, precision="highest") + att["b"]
+    )[None]
+    return (
+        l1[:pre], l1[pre : pre + V], l1[pre + V :], params["dec_lstm1"]["b"][None],
+        l2[:u], l2[u:], params["dec_lstm2"]["b"][None],
+        att["query_layer"]["w"], w_conv, w_loc, ball, att["v"][None],
+        att["mu_layer"]["w"][:V], att["mu_layer"]["w"][V:], att["mu_layer"]["b"][None],
+    )
+
+
 # forward kernel output order: primals then residual saves
 FWD_OUTS = (
     "out2", "ctx", "align",  # primal outputs
@@ -1020,22 +1045,7 @@ def fused_core_apply(
     A = cfg.attention_dim
     taps = cfg.attention_kernel
 
-    att = params["attention"]
-    l1 = params["dec_lstm1"]["w"]
-    l2 = params["dec_lstm2"]["w"]
-    w_loc = att["location_layer"]["w"]           # [F, A]
-    w_conv = att["location_conv"]["w"][:, 0]     # [taps, 1, F] -> [taps, F]
-    # the conv bias rides through the dense into one merged energy bias,
-    # built OUTSIDE so its cotangent chains to the original params
-    ball = (
-        jnp.matmul(att["location_conv"]["b"], w_loc, precision="highest") + att["b"]
-    )[None]
-    weights = (
-        l1[:pre], l1[pre : pre + V], l1[pre + V :], params["dec_lstm1"]["b"][None],
-        l2[:u], l2[u:], params["dec_lstm2"]["b"][None],
-        att["query_layer"]["w"], w_conv, w_loc, ball, att["v"][None],
-        att["mu_layer"]["w"][:V], att["mu_layer"]["w"][V:], att["mu_layer"]["b"][None],
-    )
+    weights = pack_core_weights(params, cfg)
 
     dt = "bf16" if dtype == jnp.bfloat16 else "f32"
     use_masks = masks is not None

@@ -15,20 +15,11 @@ import numpy as np
 
 from tacotronv2_wavernn_chinese_tpu.config import default_config
 from tacotronv2_wavernn_chinese_tpu.utils.compile_cache import enable_compile_cache
+from tools.benchlib import sync, timed
 
 
-def sync(x):
-    return float(np.asarray(jnp.sum(x)))
 
 
-def timed(f, key, reps=3):
-    sync(f(key))
-    ts = []
-    for i in range(reps):
-        t0 = time.time()
-        sync(f(jax.random.fold_in(key, i + 1)))
-        ts.append(time.time() - t0)
-    return min(ts)
 
 
 def main():

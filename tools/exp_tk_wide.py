@@ -12,20 +12,11 @@ import numpy as np
 
 from tacotronv2_wavernn_chinese_tpu.config import default_config
 from tacotronv2_wavernn_chinese_tpu.utils.compile_cache import enable_compile_cache
+from tools.benchlib import sync, timed
 
 
-def sync(x):
-    return float(np.asarray(jnp.sum(x)))
 
 
-def timed(f, key, reps=3):
-    sync(f(key))
-    ts = []
-    for i in range(reps):
-        t0 = time.time()
-        sync(f(jax.random.fold_in(key, i + 1)))
-        ts.append(time.time() - t0)
-    return min(ts)
 
 
 def main():
@@ -41,21 +32,11 @@ def main():
     u, V, A = cfg.decoder_lstm_units, 2 * cfg.encoder_lstm_units, cfg.attention_dim
     pre, taps = cfg.prenet_layers[-1], cfg.attention_kernel
     params = T.init_tacotron(jax.random.PRNGKey(0), cfg)
-    att = params["attention"]
-    l1, l2 = params["dec_lstm1"]["w"], params["dec_lstm2"]["w"]
-    w_loc = att["location_layer"]["w"]
-    w_conv = att["location_conv"]["w"][:, 0]
-    ball = (jnp.matmul(att["location_conv"]["b"], w_loc) + att["b"])[None]
-    weights = (
-        l1[:pre], l1[pre : pre + V], l1[pre + V :], params["dec_lstm1"]["b"][None],
-        l2[:u], l2[u:], params["dec_lstm2"]["b"][None],
-        att["query_layer"]["w"], w_conv, w_loc, ball, att["v"][None],
-        att["mu_layer"]["w"][:V], att["mu_layer"]["w"][V:], att["mu_layer"]["b"][None],
-    )
+    weights = TK.pack_core_weights(params, cfg)
     pre_seq = jax.random.normal(jax.random.PRNGKey(1), (T_dec, nrows, pre))
     masks = tuple(jnp.ones((T_dec, nrows, u)) for _ in range(4))
     memory = jax.random.normal(jax.random.PRNGKey(2), (nrows, T_in, V))
-    keys_p = ATT.precompute_keys(att, cfg, memory)
+    keys_p = ATT.precompute_keys(params["attention"], cfg, memory)
     mm_full = jnp.ones((nrows, T_in))
     static = (
         nrows, T_in, T_dec, 8, pre, u, V, A, taps,
