@@ -264,6 +264,41 @@ def main():
         "decision-level metrics agree. lsa/gmm/graves/r2 rows agree to "
         "<=5e-4 outright."
     )
+    # per-row dropout-seed independence ON CHIP: the kernel's prenet
+    # dropout bits are seeded by (row seed, step) only, so decoding a row
+    # SOLO vs CO-BATCHED with another row (distinct keys, per-example key
+    # array) must produce the same trajectory up to the bf16 envelope —
+    # the serving coalescer's reproducibility contract, verified at the
+    # kernel level with dropout ACTIVE (interpret mode cannot run the
+    # on-chip PRNG).  Random-init weights: the non-chaotic regime.
+    def dropout_row_independence():
+        from tacotronv2_wavernn_chinese_tpu.ops import tacotron_decoder_kernel as DK
+
+        cfg = dataclasses.replace(cfg0, dropout_rate=0.5)
+        p = T.init_tacotron(jax.random.PRNGKey(0), cfg)
+        p["stop_projection"] = dict(
+            p["stop_projection"], b=p["stop_projection"]["b"] - 20.0
+        )
+        memory, _ = T.encode(p, cfg, inputs, lens, False, jax.random.PRNGKey(1))
+        mask = (jnp.arange(inputs.shape[1])[None, :] < lens[:, None]).astype(jnp.float32)
+        keys2 = jnp.stack([
+            jnp.asarray(jax.random.PRNGKey(7)), jnp.asarray(jax.random.PRNGKey(3))
+        ])
+        fr2, _, _, _ = DK.decode_autoregressive_pallas(
+            p, cfg, memory, mask, keys2, 64
+        )
+        fr1, _, _, _ = DK.decode_autoregressive_pallas(
+            p, cfg, memory[:1], mask[:1], keys2[:1], 64
+        )
+        d = float(np.abs(np.asarray(fr2)[0] - np.asarray(fr1)[0]).max())
+        row = {"mode": "DROPOUT_row_independence[solo_vs_cobatched]",
+               "dropout_rate": 0.5, "decoded_frames": 64, "max_abs_dmel": d,
+               "pass": d < 0.05}
+        print(json.dumps(row), flush=True)
+        return row
+
+    controls.append(dropout_row_independence())
+
     artifact = {"provenance": provenance, "backend": jax.devices()[0].platform,
                 "device": str(jax.devices()[0]), "rows": rows,
                 "precision_controls": controls}
