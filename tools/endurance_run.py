@@ -117,7 +117,12 @@ def train_with_kill(meta: str, mel_dir: str, log_dir: str, total_steps: int,
     # step-time stability from the driver's "Step N [X sec/step" lines
     spd = [float(m) for m in
            re.findall(r"Step\s+\d+ \[(\d+\.\d+) sec/step", open(log_path).read())]
-    spd = spd[3:] if len(spd) > 6 else spd  # drop compile-inflated warmup
+    # drop the first 15 window values: the logged figure is a 100-step
+    # rolling average, so ONE cold first dispatch (disk-cold mel loads +
+    # first host->device upload) contaminates the first ~window's worth of
+    # readings even when every shape is pre-compiled; steady-state cadence
+    # starts after the window flushes
+    spd = spd[15:] if len(spd) > 30 else spd
     return {
         "killed_at_step": int(killed_at),
         "wall_to_kill_s": round(t_kill, 1),
