@@ -1,12 +1,11 @@
 """Pallas TPU kernel: fused autoregressive Tacotron-2 decoder step.
 
 Status: correct (bit-level parity with the XLA path at f32 — see
-tests/test_tacotron_decoder_kernel.py) and **~10x faster per decode step**
-than the XLA ``lax.while_loop``: 1.9 us/step vs 20.6 us/step at B=1, T_in=64
-(5.1 us/step at the native B=8; 2.6 us/step B=1 and 15 us/step B=8 at
-T_in=200 where the XLA loop stays ~20 us) on v5e, measured as the
-*marginal* rate between two iteration counts with the stop token disabled,
-with REPS full decodes per dispatch via a device-side fori_loop
+tests/test_tacotron_decoder_kernel.py) and **~8x faster per decode step**
+than the XLA ``lax.while_loop``: 1.30 us/step vs ~11 us/step at B=1,
+T_in=64 (5.1 us/step at the native B=8; BENCH_SUITE_r4) on v5e, measured
+as the *marginal* rate between two iteration counts with the stop token
+disabled, with REPS full decodes per dispatch via a device-side fori_loop
 (tools/bench_suite.py).  (Naive single-call timing is floored at ~32 ms by
 the axon tunnel's dispatch round-trip — one whole decode is SMALLER than
 that jitter — and randomly-initialized params fire the stop token at step
@@ -14,8 +13,8 @@ that jitter — and randomly-initialized params fire the stop token at step
 without the device-side repetition once inflated this number to "7.3
 us/step".  The ``ablate`` arg — "noconv"/"noatt"/"nornn"/"noexit" — exists
 from that investigation and remains useful for stage-level timing.)  At
-1.9 us/step one chip decodes ~530k mel frames/s: ~6600x realtime at batch
-1, ~18,000x aggregate at batch 8.  The Synthesizer routes inference
+1.30 us/step one chip decodes ~769k mel frames/s: ~9600x realtime at batch
+1, ~19,600x aggregate at batch 8, ~15,900x at r=2.  The Synthesizer routes inference
 through this kernel on TPU whenever ``supported(cfg)`` holds.
 
 This kernel runs the entire per-frame chain on-chip:
