@@ -223,21 +223,37 @@ def _prewarm_bucket_shapes(cfg, dataset, state, mesh, spd, total_steps, start_st
             "loss_frames": np.full((bs,), max_out, np.int32),
         }
         t1 = time.time()
-        if spd > 1:
-            stacked = jax.tree_util.tree_map(
-                lambda x: np.broadcast_to(x, (spd,) + x.shape).copy(), arrays
-            )
-            stacked = shard_stacked_batch(mesh, stacked) if mesh is not None else stacked
-            warm, _ = task.train_step_many(warm, stacked, rng, cfg)
-        # the single-step variant runs regardless (spd==1 always; K>1 runs
-        # it for epoch-tail groups), so it is always warmed
-        sharded = shard_batch(mesh, arrays) if mesh is not None else arrays
-        warm, _ = task.train_step(warm, sharded, rng, cfg)
-        # sync so compile/launch time is attributed per shape in the log
-        # (works through the axon relay, where block_until_ready does not)
-        float(np.asarray(warm.step))
-        log(f"  shape ({bs}, {max_in})x({bs}, {max_out}, {M}) "
-            f"[{n + 1}/{len(shapes)}] {time.time() - t1:.1f}s")
+        # the remote compile helper can crash transiently on big programs
+        # ("response body closed" / helper subprocess exit); a pre-warm
+        # failure must never kill the run — retry once, then skip the shape
+        # (it just compiles lazily when training first meets it)
+        for attempt in range(2):
+            try:
+                if spd > 1:
+                    stacked = jax.tree_util.tree_map(
+                        lambda x: np.broadcast_to(x, (spd,) + x.shape).copy(), arrays
+                    )
+                    stacked = (shard_stacked_batch(mesh, stacked)
+                               if mesh is not None else stacked)
+                    warm, _ = task.train_step_many(warm, stacked, rng, cfg)
+                # the single-step variant runs regardless (spd==1 always; K>1
+                # runs it for epoch-tail groups), so it is always warmed
+                sharded = shard_batch(mesh, arrays) if mesh is not None else arrays
+                warm, _ = task.train_step(warm, sharded, rng, cfg)
+                # sync so compile/launch time is attributed per shape in the
+                # log (works through the axon relay, where block_until_ready
+                # does not)
+                float(np.asarray(warm.step))
+                log(f"  shape ({bs}, {max_in})x({bs}, {max_out}, {M}) "
+                    f"[{n + 1}/{len(shapes)}] {time.time() - t1:.1f}s")
+                break
+            except Exception as e:  # noqa: BLE001 — pre-warm is best-effort
+                # train_step donates its input: after a failed call the warm
+                # state may hold invalidated buffers, so rebuild the copy
+                warm = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))(state)
+                what = "retrying" if attempt == 0 else "skipping (lazy compile)"
+                log(f"  shape ({bs}, {max_in})x({bs}, {max_out}, {M}) "
+                    f"pre-warm failed ({type(e).__name__}: {e}) — {what}")
     del warm
     log(f"bucket pre-compile done in {time.time() - t0:.1f}s")
 

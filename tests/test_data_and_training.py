@@ -111,6 +111,42 @@ def test_batch_shapes_enumerates_real_stream(training_data):
     assert actual == predicted, (actual, predicted)
 
 
+def test_prewarm_survives_transient_compile_failure(training_data, monkeypatch):
+    """A transient remote-compile crash during bucket pre-warm must never
+    kill the training run: the driver retries once, then skips the shape
+    (lazy compile).  Regression: a 'response body closed' helper crash on
+    the 7th shape aborted a full training launch."""
+    from tacotronv2_wavernn_chinese_tpu.train import tacotron_train as tt
+
+    cfg = CFG
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), cfg)
+    state = task.init_state(jax.random.PRNGKey(0), cfg)
+    real_train_step = task.train_step
+    calls = {"n": 0}
+
+    def flaky_train_step(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first shape, first attempt: transient crash
+            raise RuntimeError("remote_compile: response body closed")
+        return real_train_step(*a, **kw)
+
+    monkeypatch.setattr(task, "train_step", flaky_train_step)
+    logs = []
+    tt._prewarm_bucket_shapes(cfg, ds, state, None, 1, 4, 0, logs.append)
+    text = "\n".join(logs)
+    assert "retrying" in text, text
+    assert "skipping" not in text, text  # retry succeeded; nothing dropped
+
+    # persistent failure on every attempt: all shapes skipped, still no raise
+    monkeypatch.setattr(
+        task, "train_step",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("still down")),
+    )
+    logs2 = []
+    tt._prewarm_bucket_shapes(cfg, ds, state, None, 1, 4, 0, logs2.append)
+    assert "skipping" in "\n".join(logs2), logs2
+
+
 def test_train_step_decreases_loss(training_data):
     cfg = CFG
     ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), cfg)
