@@ -231,6 +231,7 @@ class WaveRNNTrainConfig:
     lr: float = 1e-4
     total_steps: int = 500000
     checkpoint_every: int = 1000
+    summary_interval: int = 100  # scalars.jsonl cadence (matches tacotron's knob)
     gen_at_checkpoint: int = 5
     test_samples: int = 50
     seq_len_hops: int = 5  # seq_len = hop_size * 5 = 1375

@@ -127,7 +127,7 @@ def run_training(
                     f"Step {sub:7d} [{time_win.average:.3f} sec/step, "
                     f"loss={loss:.5f}, avg={loss_win.average:.5f}]"
                 )
-            if sub % 100 == 0 or sub < 5:
+            if sub % wc.summary_interval == 0 or sub < 5:
                 metrics_writer.write(sub, {"loss": loss, "grad_norm": gnorm})
             if sub % wc.checkpoint_every == 0:
                 ckpt_due = True

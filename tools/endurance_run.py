@@ -72,6 +72,20 @@ def train_with_kill(meta: str, mel_dir: str, log_dir: str, total_steps: int,
     args = [sys.executable, "-m", "tacotronv2_wavernn_chinese_tpu.train.tacotron_train",
             "--metadata", meta, "--mel-dir", mel_dir, "--log-dir", log_dir,
             "--steps", str(total_steps), "--override", override, "--no-render"]
+    return kill_restart_cycle(args, scalars, kill_after_step, log_path)
+
+
+def kill_restart_cycle(args: list[str], scalars: str, kill_after_step: int,
+                       log_path: str, resume_lo: int = 620,
+                       resume_hi: int = 120) -> dict:
+    """Generic SIGKILL + restart cycle for any train CLI that appends
+    step-keyed rows to ``scalars`` and logs "Step N [X sec/step" lines.
+
+    The kill lands only after optimizer steps are flowing AND immediately
+    after a fresh scalars append (inside an already-compiled dispatch — a
+    client killed mid-XLA-compile can wedge the axon remote agent).
+    ``resume_lo``/``resume_hi`` bound the accepted restore point relative
+    to the kill step (one checkpoint interval + dispatch group)."""
     logf = open(log_path, "a")
     t0 = time.time()
     proc = subprocess.Popen(args, cwd=REPO, stdout=logf, stderr=subprocess.STDOUT)
@@ -133,7 +147,7 @@ def train_with_kill(meta: str, mel_dir: str, log_dir: str, total_steps: int,
         # the last checkpoint (<= kill step, within one ckpt interval + K)
         "resume_from_latest_ok": bool(
             restart_first is not None
-            and killed_at - 620 <= restart_first <= killed_at + 120
+            and killed_at - resume_lo <= restart_first <= killed_at + resume_hi
         ),
         "sec_per_step_p50": round(float(np.percentile(spd, 50)), 4) if spd else None,
         "sec_per_step_p95": round(float(np.percentile(spd, 95)), 4) if spd else None,
