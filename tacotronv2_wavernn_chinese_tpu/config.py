@@ -242,6 +242,11 @@ class WaveRNNTrainConfig:
     mixed_precision: bool = False
     # fuse K optimizer steps into one device dispatch (train_step_many)
     steps_per_dispatch: int = 1
+    # compile the (fixed-window) train-step programs before the first real
+    # step, like tacotron_train.precompile_buckets — kills the multi-second
+    # first-dispatch tail in step-time percentiles (RESUME_r4: p95 5.87 s vs
+    # p50 0.43 s came from exactly this)
+    precompile: bool = True
 
 
 @dataclass(frozen=True)

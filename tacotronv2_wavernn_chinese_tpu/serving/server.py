@@ -165,10 +165,19 @@ class TTSService:
     unbounded queue growth under overload.
     """
 
-    def __init__(self, cfg: Config, synthesizer, max_batch: int = 8, max_queue: int = 32):
+    def __init__(self, cfg: Config, synthesizer, max_batch: int = 8,
+                 max_queue: int = 32, max_batch_hard: int | None = None):
         self.cfg = cfg
         self.synth = synthesizer
         self.max_batch = max_batch
+        # depth-adaptive ceiling: when the queue is deeper than max_batch,
+        # batches grow up to this bound so a backlog drains in fewer device
+        # waves.  Round-4 measured the failure mode this fixes: at
+        # concurrency 16 with a fixed max_batch=8, a request that just
+        # missed a wave waited a FULL extra wave (p95/p50 3.4x vs 1.07x at
+        # concurrency 8); padded-batch device time grows sublinearly with
+        # rows, so one 16-row wave beats two 8-row waves on tail latency.
+        self.max_batch_hard = max(max_batch, max_batch_hard or 2 * max_batch)
         self.max_queue = max_queue
         self._mutex = threading.Lock()  # guards the queue + counters
         self._device = threading.Lock()  # serializes device access (leader)
@@ -182,15 +191,15 @@ class TTSService:
     # -- adaptive micro-batching ---------------------------------------------
 
     def _take_batch(self) -> list[dict]:
-        """Pop the FIFO prefix (<= max_batch).  Per-example PRNG keys mean
-        any seed mix batches together (round 3 measured 2.4x throughput
-        loss from the old same-seed-prefix rule under distinct-seed
-        traffic)."""
+        """Pop the FIFO prefix.  Per-example PRNG keys mean any seed mix
+        batches together (round 3 measured 2.4x throughput loss from the
+        old same-seed-prefix rule under distinct-seed traffic).  The prefix
+        length adapts to queue depth: <= max_batch normally, up to
+        max_batch_hard when a backlog has formed (see __init__)."""
         with self._mutex:
-            batch, self._queue = (
-                self._queue[: self.max_batch],
-                self._queue[self.max_batch :],
-            )
+            take = (self.max_batch if len(self._queue) <= self.max_batch
+                    else min(len(self._queue), self.max_batch_hard))
+            batch, self._queue = self._queue[:take], self._queue[take:]
             return batch
 
     def _run_batch(self, batch: list[dict]) -> None:
@@ -389,8 +398,10 @@ def serve(
     port: int = 8500,
     max_batch: int = 8,
     max_queue: int = 32,
+    max_batch_hard: int | None = None,
 ):
-    service = TTSService(cfg, synthesizer, max_batch=max_batch, max_queue=max_queue)
+    service = TTSService(cfg, synthesizer, max_batch=max_batch,
+                         max_queue=max_queue, max_batch_hard=max_batch_hard)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     infolog.log(f"TTS server on http://{host}:{port} (POST /generate_tts)")
     return httpd
@@ -413,6 +424,10 @@ def main() -> None:
         "--max-queue", type=int, default=32,
         help="admission-control queue bound; requests beyond it get 503 + Retry-After",
     )
+    ap.add_argument(
+        "--max-batch-hard", type=int, default=None,
+        help="batch ceiling once a backlog forms (default 2x max-batch)",
+    )
     ap.add_argument("--override", default="")
     args = ap.parse_args()
 
@@ -428,6 +443,7 @@ def main() -> None:
     serve(
         cfg, synth, args.host, args.port,
         max_batch=args.max_batch, max_queue=args.max_queue,
+        max_batch_hard=args.max_batch_hard,
     ).serve_forever()
 
 

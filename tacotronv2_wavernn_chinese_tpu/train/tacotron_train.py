@@ -85,6 +85,11 @@ def run_training(
     profiler = Profiler(profile_dir)
 
     dataset = TacotronDataset(read_metadata(metadata_path), mel_dir, cfg)
+    pad_stats = dataset.padding_stats([tc.data_seed])
+    if pad_stats.get("n_batches"):
+        log(f"bucket padding waste (epoch 0): mel {pad_stats['frac_pad_mel']:.1%}"
+            f" of frames ({pad_stats['frac_pad_mel_bucket']:.1%} from shape"
+            f" multiples), inputs {pad_stats['frac_pad_inputs']:.1%}")
     mesh = make_mesh() if use_mesh else None
     pipe = MelPipeline(cfg.audio)
 
@@ -210,7 +215,16 @@ def _prewarm_bucket_shapes(cfg, dataset, state, mesh, spd, total_steps, start_st
     t0 = time.time()
     # one jitted deep copy: train_step donates its input state, so the warm
     # steps chain through a sacrificial copy and the real state is untouched
-    warm = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))(state)
+    def make_warm():
+        return jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))(state)
+
+    try:
+        warm = make_warm()
+    except Exception as e:  # noqa: BLE001 — a pre-warm failure must never
+        # kill the launch, and even the copy is a device call that can die
+        # on a persistent tunnel fault: bail to lazy compiles
+        log(f"bucket pre-warm skipped (state copy failed: {type(e).__name__}: {e})")
+        return
     rng = jax.random.PRNGKey(0)
     M = 80
     for n, (max_in, max_out) in enumerate(shapes):
@@ -248,12 +262,20 @@ def _prewarm_bucket_shapes(cfg, dataset, state, mesh, spd, total_steps, start_st
                     f"[{n + 1}/{len(shapes)}] {time.time() - t1:.1f}s")
                 break
             except Exception as e:  # noqa: BLE001 — pre-warm is best-effort
-                # train_step donates its input: after a failed call the warm
-                # state may hold invalidated buffers, so rebuild the copy
-                warm = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))(state)
                 what = "retrying" if attempt == 0 else "skipping (lazy compile)"
                 log(f"  shape ({bs}, {max_in})x({bs}, {max_out}, {M}) "
                     f"pre-warm failed ({type(e).__name__}: {e}) — {what}")
+                # train_step donates its input: after a failed call the warm
+                # state may hold invalidated buffers, so rebuild the copy —
+                # itself a device call; if THAT fails the fault is persistent
+                # and the whole pre-warm bails out (lazy compiles) rather
+                # than letting the exception escape and abort training
+                try:
+                    warm = make_warm()
+                except Exception as e2:  # noqa: BLE001
+                    log(f"bucket pre-warm aborted (state copy failed: "
+                        f"{type(e2).__name__}: {e2})")
+                    return
     del warm
     log(f"bucket pre-compile done in {time.time() - t0:.1f}s")
 

@@ -138,6 +138,9 @@ def run_training(
             if gen_at_checkpoint:
                 _gen_testset(cfg, state.params, dataset, out_dir, step, log)
 
+    if wc.precompile and step < total_steps:
+        _prewarm_shapes(cfg, state, mesh, spd, log)
+
     while step < total_steps:
         # vocoder windows are fixed-size, so any spd consecutive batches
         # stack (no key_fn needed)
@@ -159,6 +162,72 @@ def run_training(
     if native is not None:
         native.close()
     return state
+
+
+def _prewarm_shapes(cfg, state, mesh, spd, log):
+    """Compile the train-step program(s) BEFORE the first real step.
+
+    Vocoder windows are fixed-size (seq_len = hop * seq_len_hops), so there
+    are exactly two programs: ``train_step`` and (when steps_per_dispatch>1)
+    ``train_step_many``.  Without this, the first dispatch of each process —
+    including every post-SIGKILL restart — pays the XLA compile (or the
+    persistent-cache deserialize) inside the timed step loop, which put a
+    5.87 s p95 against a 0.43 s p50 in RESUME_r4.json.  Mirrors
+    ``tacotron_train._prewarm_bucket_shapes`` including its crash tolerance:
+    the remote compile helper can die transiently, and a pre-warm failure
+    must never kill a training launch (retry once, then fall back to lazy
+    compile)."""
+    import jax.numpy as jnp
+
+    wc = cfg.wavernn_train
+    bs = wc.batch_size
+    hop = cfg.audio.hop_size
+    seq_len = wc.seq_len_hops * hop
+    frames = wc.seq_len_hops + 2 * cfg.wavernn.pad
+    arrays = {
+        "x": np.zeros((bs, seq_len), np.float32),
+        "y": np.zeros((bs, seq_len), np.int32),
+        "mels": np.zeros((bs, frames, cfg.audio.num_mels), np.float32),
+    }
+    t0 = time.time()
+
+    def make_warm():
+        # train_step donates its input state: warm steps chain through a
+        # sacrificial jitted deep copy, leaving the real state untouched
+        return jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))(state)
+
+    try:
+        warm = make_warm()
+    except Exception as e:  # noqa: BLE001 — pre-warm is best-effort
+        log(f"pre-warm skipped (state copy failed: {type(e).__name__}: {e})")
+        return
+    for attempt in range(2):
+        try:
+            if spd > 1:
+                stacked = jax.tree_util.tree_map(
+                    lambda v: np.broadcast_to(v, (spd,) + v.shape).copy(), arrays
+                )
+                stacked = (shard_stacked_batch(mesh, stacked)
+                           if mesh is not None else stacked)
+                warm, _ = task.train_step_many(warm, stacked, cfg)
+            sharded = shard_batch(mesh, arrays) if mesh is not None else arrays
+            warm, _ = task.train_step(warm, sharded, cfg)
+            # sync so compile time lands here, not in the first timed step
+            # (works through the axon relay, where block_until_ready does not)
+            float(np.asarray(warm.step))
+            log(f"train-step pre-compile done in {time.time() - t0:.1f}s")
+            break
+        except Exception as e:  # noqa: BLE001
+            what = "retrying" if attempt == 0 else "skipping (lazy compile)"
+            log(f"train-step pre-warm failed ({type(e).__name__}: {e}) — {what}")
+            if attempt == 0:
+                try:
+                    warm = make_warm()
+                except Exception as e2:  # noqa: BLE001 — never kill the launch
+                    log(f"pre-warm aborted (state copy failed: "
+                        f"{type(e2).__name__}: {e2})")
+                    return
+    del warm
 
 
 def _gen_testset(cfg, params, dataset: VocoderDataset, out_dir, step, log):

@@ -356,3 +356,66 @@ def test_params_npz_roundtrip(tmp_path):
     assert len(orig_flat) == len(load_flat)
     for a, b in zip(orig_flat, load_flat):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_padding_stats_matches_real_stream(training_data):
+    """padding_stats (metadata-only replay) must equal the padding fractions
+    of the batches the real stream produces — it's the number the trainer
+    logs and the endurance/quality artifacts record."""
+    ds = TacotronDataset(read_metadata(str(training_data / "train.txt")), str(training_data), CFG)
+    stats = ds.padding_stats([0, 1])
+    real_f = pad_f = real_t = pad_t = n = 0
+    for seed in (0, 1):
+        for b in ds.batches(epoch_seed=seed):
+            n += 1
+            pad_f += b.mel_targets.shape[0] * b.mel_targets.shape[1]
+            real_f += int(b.target_lengths.sum())
+            pad_t += b.inputs.shape[0] * b.inputs.shape[1]
+            real_t += int(b.input_lengths.sum())
+    assert stats["n_batches"] == n
+    assert stats["frac_pad_mel"] == round(1.0 - real_f / pad_f, 4)
+    assert stats["frac_pad_inputs"] == round(1.0 - real_t / pad_t, 4)
+    # bucket-only waste is a subset of total waste
+    assert 0.0 <= stats["frac_pad_mel_bucket"] <= stats["frac_pad_mel"]
+
+
+def test_wavernn_prewarm_compiles_and_survives_crash(monkeypatch):
+    """The vocoder trainer's pre-warm (new in round 5: RESUME_r4 measured a
+    5.87 s p95 step from first-dispatch compiles landing in the timed loop)
+    must compile both step variants up front and must NEVER abort a launch
+    on a transient remote-compile crash."""
+    from tacotronv2_wavernn_chinese_tpu.train import wavernn_task as wtask
+    from tacotronv2_wavernn_chinese_tpu.train import wavernn_train as wt
+
+    cfg = default_config().override(
+        "wavernn.rnn_dims=32,wavernn.fc_dims=32,wavernn.compute_dims=16,"
+        "wavernn.res_out_dims=16,wavernn.res_blocks=2,"
+        "wavernn_train.batch_size=2,wavernn_train.seq_len_hops=2"
+    )
+    state = wtask.init_state(jax.random.PRNGKey(0), cfg)
+    logs = []
+    wt._prewarm_shapes(cfg, state, None, 2, logs.append)
+    assert any("pre-compile done" in l for l in logs), logs
+
+    real_step = wtask.train_step
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("remote_compile: response body closed")
+        return real_step(*a, **kw)
+
+    monkeypatch.setattr(wtask, "train_step", flaky)
+    logs2 = []
+    wt._prewarm_shapes(cfg, state, None, 1, logs2.append)
+    assert "retrying" in "\n".join(logs2), logs2
+    assert any("pre-compile done" in l for l in logs2), logs2
+
+    monkeypatch.setattr(
+        wtask, "train_step",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("still down")),
+    )
+    logs3 = []
+    wt._prewarm_shapes(cfg, state, None, 1, logs3.append)  # must not raise
+    assert "skipping" in "\n".join(logs3), logs3

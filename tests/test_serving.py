@@ -378,3 +378,37 @@ def test_microbatch_error_propagates_to_all_waiters():
         t.join(timeout=20)
     # requests 1-2 batched -> both get the error; request 0 (single) succeeded
     assert errors == ["device on fire", "device on fire"]
+
+
+def test_backlog_grows_batch_past_max_batch():
+    """Depth-adaptive coalescing: once the queue is deeper than max_batch,
+    a wave may take up to max_batch_hard (default 2x) so a backlog drains
+    in fewer device waves — the round-4 conc-16 p95 knee came from a
+    just-missed request always waiting one FULL fixed-size wave."""
+    cfg = tiny_cfg()
+    service = srv.TTSService(cfg, _StubSynth(delay=0.3), max_batch=4)
+    assert service.max_batch_hard == 8
+    errors = []
+
+    def worker(i):
+        try:
+            service.generate(f"t{i}", seed=i)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(0,))]
+    threads[0].start()
+    import time
+
+    time.sleep(0.1)  # request 0 leads and holds the device for 0.3 s
+    for i in range(1, 13):  # 12 requests pile up behind the leader
+        threads.append(threading.Thread(target=worker, args=(i,)))
+        threads[-1].start()
+    for t in threads:
+        t.join(timeout=15)
+    assert not errors
+    sizes = service.synth.batch_sizes
+    assert sizes[0] == 1, sizes
+    assert max(sizes) > 4, f"backlog never grew a wave past max_batch: {sizes}"
+    assert max(sizes) <= 8, sizes
+    assert sum(sizes) == 13

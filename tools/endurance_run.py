@@ -102,6 +102,11 @@ def kill_restart_cycle(args: list[str], scalars: str, kill_after_step: int,
                 last_size = size
                 continue
             if size != last_size:
+                # re-read AFTER the size check: an append can land between
+                # read_scalar_steps and getsize, and killed_at must reflect
+                # the append that triggered the kill or the tight resume
+                # windows (resume_check: ka-46..ka+4) can false-fail
+                rows = read_scalar_steps(scalars)
                 killed_at = rows[-1]["step"]
                 proc.send_signal(signal.SIGKILL)
                 break

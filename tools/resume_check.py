@@ -44,6 +44,28 @@ def main() -> None:
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
+    # A reused --work dir keeps corpus + features (expensive, reusable) but
+    # must NOT keep training state: a prior run's checkpoints + append-only
+    # scalars.jsonl make the trainer restore at its old final step and exit
+    # before the kill step, surfacing as a confusing "training finished
+    # before the kill step was reached".  Clear the log dirs up front
+    # (tacotron's only when it is actually being retrained).
+    import shutil
+
+    stale = [os.path.join(args.work, "logs-wavernn")]
+    if not args.skip_taco:
+        stale += [os.path.join(args.work, "logs-tacotron"),
+                  os.path.join(args.work, "gta")]
+    for d in stale:
+        if os.path.exists(d):
+            print(f"clearing stale training dir {d}")
+            shutil.rmtree(d)
+    # the driver logs are append-only and feed the sec/step percentile
+    # regex — stale "Step N [" lines from a prior run would pollute them
+    for f, when in (("driver.log", not args.skip_taco), ("driver_wavernn.log", True)):
+        p = os.path.join(args.work, f)
+        if when and os.path.exists(p):
+            os.remove(p)
     log_path = os.path.join(args.work, "driver.log")
     report = {"provenance": {
         "tool": "tools/resume_check.py", "n_utts": args.n_utts,
