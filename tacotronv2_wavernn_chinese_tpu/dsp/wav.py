@@ -41,6 +41,10 @@ def postprocess_wav_int16(wav: np.ndarray) -> np.ndarray:
     (reference audio.py:16-28 ``save_wav``; the serving path runs the same
     chain before the WAV container, website/app/views.py:81-88)."""
     wav = np.asarray(wav, dtype=np.float64)
+    if wav.size == 0:
+        # a stop token fired at frame 0 (untrained/early checkpoint) — write
+        # an empty container instead of crashing on the empty reductions
+        return np.zeros(0, np.int16)
     wav = dc_notch_filter(wav)
     wav = wav / max(1e-8, np.abs(wav).max()) * 0.999
     f1 = 0.5 * 32767 / max(0.01, np.max(np.abs(wav)))

@@ -127,6 +127,11 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--shard-index", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to restore (default: latest) — "
+                         "GTA should run from the BEST checkpoint, which "
+                         "best-checkpoint selection may place before the "
+                         "final one")
     ap.add_argument("--override", default="")
     args = ap.parse_args()
 
@@ -135,7 +140,7 @@ def main() -> None:
         cfg = cfg.override(args.override)
 
     state = CheckpointManager(args.ckpt_dir).restore(
-        task.init_state(jax.random.PRNGKey(0), cfg)
+        task.init_state(jax.random.PRNGKey(0), cfg), step=args.step
     )
     if state is None:
         raise FileNotFoundError(f"no checkpoint under {args.ckpt_dir}")

@@ -160,13 +160,16 @@ class Synthesizer:
         cfg: Config,
         tacotron_ckpt_dir: str,
         wavernn_ckpt_dir: str | None = None,
+        step: int | None = None,
         **kw,
     ) -> "Synthesizer":
-        """Restore latest params from step-keyed checkpoint dirs."""
+        """Restore params from step-keyed checkpoint dirs (``step`` picks a
+        specific acoustic checkpoint — e.g. the best-held-out one — else
+        latest)."""
         from ..train import tacotron_task as TT
 
         state = CheckpointManager(tacotron_ckpt_dir).restore(
-            TT.init_state(jax.random.PRNGKey(0), cfg)
+            TT.init_state(jax.random.PRNGKey(0), cfg), step=step
         )
         if state is None:
             raise FileNotFoundError(f"no checkpoint under {tacotron_ckpt_dir}")

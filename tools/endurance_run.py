@@ -133,15 +133,26 @@ def kill_restart_cycle(args: list[str], scalars: str, kill_after_step: int,
         if steps[i] <= steps[i - 1]:
             restart_first = steps[i]
             break
-    # step-time stability from the driver's "Step N [X sec/step" lines
-    spd = [float(m) for m in
-           re.findall(r"Step\s+\d+ \[(\d+\.\d+) sec/step", open(log_path).read())]
-    # drop the first 15 window values: the logged figure is a 100-step
-    # rolling average, so ONE cold first dispatch (disk-cold mel loads +
-    # first host->device upload) contaminates the first ~window's worth of
-    # readings even when every shape is pre-compiled; steady-state cadence
-    # starts after the window flushes
-    spd = spd[15:] if len(spd) > 30 else spd
+    # step-time stability from the driver's "Step N [X sec/step" lines.
+    # The logged figure is a 100-step rolling average, so EACH process's
+    # first (restore + upload-cold) dispatch contaminates its first
+    # ~window's worth of readings even with every shape pre-compiled.
+    # Segment the readings at restart boundaries (the step number jumps
+    # backward) and drop the first 15 of each segment — steady-state
+    # cadence starts once the window flushes.
+    pairs = [(int(s), float(v)) for s, v in
+             re.findall(r"Step\s+(\d+) \[(\d+\.\d+) sec/step", open(log_path).read())]
+    segs: list[list[tuple[int, float]]] = []
+    cur: list[tuple[int, float]] = []
+    for st, v in pairs:
+        if cur and st <= cur[-1][0]:
+            segs.append(cur)
+            cur = []
+        cur.append((st, v))
+    if cur:
+        segs.append(cur)
+    spd = [v for seg in segs
+           for _, v in (seg[15:] if len(seg) > 30 else seg)]
     return {
         "killed_at_step": int(killed_at),
         "wall_to_kill_s": round(t_kill, 1),
