@@ -196,6 +196,13 @@ class TacotronTrainConfig:
     # mid-run XLA compile — the round-3 endurance run measured p95 2.32 s
     # vs p50 0.156 s purely from bucket-shape compile churn
     precompile_buckets: bool = True
+    # pad-shape rounding multiples: larger values -> fewer compiled shapes
+    # but more padded (loss-masked, compute-wasting) frames/tokens.  With
+    # precompile_buckets the compile count is paid up front, so tightening
+    # these trades a longer prewarm for less per-step padding waste (the
+    # loader's padding_stats measures it; see BENCH/ENDURANCE artifacts).
+    input_pad_multiple: int = 16
+    mel_pad_multiple: int = 64
     shuffle_seed: int = 5339
     batches_per_group: int = 20
     max_checkpoints_to_keep: int = 20

@@ -68,6 +68,13 @@ class TacotronDataset:
         self.test_indices = sorted(order[:n_test].tolist())
         self.train_indices = sorted(order[n_test:].tolist())
 
+    def _multiples(self, input_multiple, mel_multiple):
+        tc = self.cfg.tacotron_train
+        return (
+            input_multiple if input_multiple is not None else tc.input_pad_multiple,
+            mel_multiple if mel_multiple is not None else tc.mel_pad_multiple,
+        )
+
     def example(self, row_idx: int):
         row = self.rows[row_idx]
         ids = np.asarray(self.symbols.encode(row[5]), np.int32)
@@ -79,12 +86,15 @@ class TacotronDataset:
         epoch_seed: int,
         batch_size: int | None = None,
         indices: list[int] | None = None,
-        input_multiple: int = 16,
-        mel_multiple: int = 64,
+        input_multiple: int | None = None,
+        mel_multiple: int | None = None,
         drop_remainder: bool = True,
     ):
-        """Yield TacotronBatch for one epoch (bucketed + batch-shuffled)."""
+        """Yield TacotronBatch for one epoch (bucketed + batch-shuffled).
+        Pad multiples default to the config knobs
+        (tacotron_train.input_pad_multiple / mel_pad_multiple)."""
         cfg = self.cfg
+        input_multiple, mel_multiple = self._multiples(input_multiple, mel_multiple)
         bs = batch_size or cfg.tacotron_train.batch_size
         idx = list(indices if indices is not None else self.train_indices)
         rng = np.random.RandomState(epoch_seed)
@@ -133,8 +143,8 @@ class TacotronDataset:
         epoch_seeds,
         batch_size: int | None = None,
         indices: list[int] | None = None,
-        input_multiple: int = 16,
-        mel_multiple: int = 64,
+        input_multiple: int | None = None,
+        mel_multiple: int | None = None,
     ) -> list[tuple[int, int]]:
         """Distinct padded (T_in, T_out) batch shapes ``batches`` will
         produce over the given epoch seeds — computed from metadata lengths
@@ -144,6 +154,7 @@ class TacotronDataset:
         run measured a 15x p95/p50 step-time tail from bucket-shape compile
         churn)."""
         cfg = self.cfg
+        input_multiple, mel_multiple = self._multiples(input_multiple, mel_multiple)
         bs = batch_size or cfg.tacotron_train.batch_size
         r = cfg.tacotron.outputs_per_step
         idx_base = list(indices if indices is not None else self.train_indices)
@@ -171,8 +182,8 @@ class TacotronDataset:
         epoch_seeds,
         batch_size: int | None = None,
         indices: list[int] | None = None,
-        input_multiple: int = 16,
-        mel_multiple: int = 64,
+        input_multiple: int | None = None,
+        mel_multiple: int | None = None,
     ) -> dict:
         """Measured padding waste of the bucketed batches, from metadata
         lengths only (no mel loads) — replays the exact shuffle+bucket logic
@@ -189,6 +200,7 @@ class TacotronDataset:
         logs these at startup and the endurance/quality artifacts record
         them (VERDICT r4 weak #5: padding waste was unmeasured)."""
         cfg = self.cfg
+        input_multiple, mel_multiple = self._multiples(input_multiple, mel_multiple)
         bs = batch_size or cfg.tacotron_train.batch_size
         r = cfg.tacotron.outputs_per_step
         idx_base = list(indices if indices is not None else self.train_indices)
@@ -229,11 +241,10 @@ class TacotronDataset:
         """In-order batches over the corpus (GTA generation / eval)."""
         idx = list(indices if indices is not None else range(len(self.rows)))
         for s in range(0, len(idx), batch_size):
-            yield self._make_batch(
-                idx[s : s + batch_size],
-                kw.get("input_multiple", 16),
-                kw.get("mel_multiple", 64),
+            im, mm = self._multiples(
+                kw.get("input_multiple"), kw.get("mel_multiple")
             )
+            yield self._make_batch(idx[s : s + batch_size], im, mm)
 
 
 @dataclass
@@ -273,6 +284,13 @@ class VocoderDataset:
     def _frames_of(self, row) -> int:
         mel = np.load(os.path.join(self.dir, row[2 if self.use_gta else 1]), mmap_mode="r")
         return mel.shape[0]
+
+    def _multiples(self, input_multiple, mel_multiple):
+        tc = self.cfg.tacotron_train
+        return (
+            input_multiple if input_multiple is not None else tc.input_pad_multiple,
+            mel_multiple if mel_multiple is not None else tc.mel_pad_multiple,
+        )
 
     def example(self, row_idx: int):
         """Returns (labels [T_samples] int, mel [T_frames, M] float)."""

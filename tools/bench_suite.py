@@ -207,6 +207,21 @@ def main() -> None:
          examples_per_s=round(B / dt_marg, 1),
          **mfu_extra(taco_flops, dt_marg))
 
+    # marginal mixed-precision row: the single-dispatch mp comparison above
+    # is diluted by the same dispatch constant (a true 1.3x kernel win would
+    # read as ~1.15x there) — this is the honest mp speedup
+    def train_mp_many(k):
+        s2, metrics = TT.train_step_many(mp_box[0], batches, k, cfg_mp)
+        mp_box[0] = s2
+        return metrics["loss"]
+
+    dt_mp_k = timed(train_mp_many, key)
+    dt_mp_marg = max((dt_mp_k - dt_mp) / (K - 1), 1e-9)
+    emit("tacotron_train_step_mp_marginal_seconds", dt_mp_marg, "s/step",
+         batch_size=B, frames=T_out,
+         speedup_vs_f32_marginal=round(dt_marg / dt_mp_marg, 3),
+         **mfu_extra(taco_flops_mp, dt_mp_marg))
+
     # small-batch fused-kernel regime (fused_decoder="auto" routes B<=16
     # through the Pallas trainer pair on TPU — the speaker-adaptation /
     # fine-tune regime; measured 1.50x over the scan at B=8)
@@ -574,6 +589,24 @@ def main() -> None:
          examples_per_s=round(Bw / wt_marg, 1),
          **mfu_extra(voc_flops, wt_marg))
 
+    # marginal mixed-precision row (dispatch constant cancelled — see the
+    # tacotron mp marginal row)
+    wmp_batches = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), wbatch
+    )
+
+    def wtrain_mp_many(k):
+        s2, metrics = WT.train_step_many(wmp_box[0], wmp_batches, cfg_mp)
+        wmp_box[0] = s2
+        return metrics["loss"]
+
+    dt_mp_k = timed(wtrain_mp_many, key)
+    wt_mp_marg = max((dt_mp_k - dt_mp) / (K - 1), 1e-9)
+    emit("wavernn_train_step_mp_marginal_seconds", wt_mp_marg, "s/step",
+         batch_size=Bw, seq_len=sf * hop,
+         speedup_vs_f32_marginal=round(wt_marg / wt_mp_marg, 3),
+         **mfu_extra(voc_flops_mp, wt_mp_marg))
+
     # wavernn max-throughput config: B=128 fused K=4 (1070 ex/s measured)
     if not args.quick:
         B_max, K_max = 128, 4
@@ -616,6 +649,20 @@ def main() -> None:
 
     dt = timed(lambda k: W.generate_scan(wp, cfg.wavernn, folds, k, cfg.audio.bits), key)
     emit("wavernn_gen_scan_x_realtime", audio_s / dt, "x_realtime", folds=n_folds)
+
+    # MOL output mode rides the same scan path (the fused kernel is
+    # RAW-only — BASELINE.md scope note; the reference ships RAW,
+    # wavernn_hparams.py:27-36).  This row puts a measured number on that
+    # scope note (reference MOL sampling: wavernn/utils/distribution.py:72-123).
+    if not args.quick:
+        cfg_mol = cfg.override("wavernn.mode=MOL")
+        wp_mol = WT.init_state(jax.random.PRNGKey(0), cfg_mol).params
+        dt_mol = timed(
+            lambda k: W.generate_scan(wp_mol, cfg_mol.wavernn, folds, k, cfg_mol.audio.bits),
+            key,
+        )
+        emit("wavernn_gen_scan_mol_x_realtime", audio_s / dt_mol, "x_realtime",
+             folds=n_folds)
 
     if on_tpu:
         try:
