@@ -199,10 +199,15 @@ class TacotronTrainConfig:
     # pad-shape rounding multiples: larger values -> fewer compiled shapes
     # but more padded (loss-masked, compute-wasting) frames/tokens.  With
     # precompile_buckets the compile count is paid up front, so tightening
-    # these trades a longer prewarm for less per-step padding waste (the
-    # loader's padding_stats measures it; see BENCH/ENDURANCE artifacts).
+    # these trades a longer one-time prewarm for less per-step padding
+    # waste forever.  Measured on the 10k-utterance corpus
+    # (loader.padding_stats, ENDURANCE_r5): mel multiple 64 = 16 shapes /
+    # 12.7% padded mel frames (8.6% from the multiples); 32 = 26 shapes /
+    # 8.6% (4.3%); 16 = 45 shapes / 6.6% (2.2%).  Default 32: the decoder
+    # scan is frame-proportional, so this buys ~4.5% whole-run training
+    # throughput for ~10 extra cached compiles.
     input_pad_multiple: int = 16
-    mel_pad_multiple: int = 64
+    mel_pad_multiple: int = 32
     shuffle_seed: int = 5339
     batches_per_group: int = 20
     max_checkpoints_to_keep: int = 20

@@ -285,13 +285,6 @@ class VocoderDataset:
         mel = np.load(os.path.join(self.dir, row[2 if self.use_gta else 1]), mmap_mode="r")
         return mel.shape[0]
 
-    def _multiples(self, input_multiple, mel_multiple):
-        tc = self.cfg.tacotron_train
-        return (
-            input_multiple if input_multiple is not None else tc.input_pad_multiple,
-            mel_multiple if mel_multiple is not None else tc.mel_pad_multiple,
-        )
-
     def example(self, row_idx: int):
         """Returns (labels [T_samples] int, mel [T_frames, M] float)."""
         row = self.rows[row_idx]

@@ -83,8 +83,8 @@ def test_loader_batches(training_data):
     assert len(batches) == 3
     b = batches[0]
     assert b.inputs.shape[0] == 2
-    assert b.inputs.shape[1] % 16 == 0
-    assert b.mel_targets.shape[1] % 64 == 0
+    assert b.inputs.shape[1] % CFG.tacotron_train.input_pad_multiple == 0
+    assert b.mel_targets.shape[1] % CFG.tacotron_train.mel_pad_multiple == 0
     assert b.mel_targets.shape[2] == 80
     # stop targets: 0 before len-1, 1 from len-1 on
     i = 0
