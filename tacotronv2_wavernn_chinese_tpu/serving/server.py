@@ -402,7 +402,15 @@ def serve(
 ):
     service = TTSService(cfg, synthesizer, max_batch=max_batch,
                          max_queue=max_queue, max_batch_hard=max_batch_hard)
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog of 5 kernel-resets
+        # simultaneous connects under load (measured: 19/128 requests got
+        # ECONNRESET at concurrency 64) — admission control belongs to the
+        # bounded queue + 503, not the TCP accept queue
+        request_queue_size = 128
+
+    httpd = _Server((host, port), make_handler(service))
     infolog.log(f"TTS server on http://{host}:{port} (POST /generate_tts)")
     return httpd
 
@@ -437,9 +445,16 @@ def main() -> None:
     if args.override:
         cfg = cfg.override(args.override)
     synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, args.wavernn_ckpt_dir)
-    # warm the jit cache so the first request doesn't pay compile time
+    # warm the jit cache so no request pays compile time: the single path
+    # plus every power-of-2 coalesced-batch bucket the adaptive micro-batcher
+    # can form (pad_batch rounds B up to these), up to the backlog ceiling
     infolog.log("warming up...")
     synth.synthesize("你好。")
+    hard = max(args.max_batch, args.max_batch_hard or 2 * args.max_batch)
+    nb = 2
+    while nb <= hard:
+        synth.synthesize_batch(["你好。"] * nb, pad_batch=True)
+        nb *= 2
     serve(
         cfg, synth, args.host, args.port,
         max_batch=args.max_batch, max_queue=args.max_queue,

@@ -75,6 +75,18 @@ def load_run(port: int, concurrency: int, total: int,
     this row should match the same-seed row.  503-rejected requests (the
     bounded admission queue shedding load) are counted separately from
     failures and excluded from the latency percentiles."""
+    # untimed shakeout burst at this concurrency first: the very first
+    # coalesced waves of a fresh (conc, wave-size) regime can still absorb a
+    # one-off cost (jit dispatch-cache population, tunnel hiccup) that would
+    # otherwise own the p95 of a small timed sample (round-5 measured a
+    # steady-state conc-16 ratio of 1.1 after shakeout vs 3.0 without)
+    shake = [threading.Thread(target=post, args=(port, TEXTS[i % len(TEXTS)], i))
+             for i in range(concurrency)]
+    for t in shake:
+        t.start()
+    for t in shake:
+        t.join()
+
     lats: list[float] = []
     fails, rejects = [0], [0]
     lock = threading.Lock()
@@ -165,15 +177,19 @@ def main():
     # warm the compiled shapes: coalesced batches land in power-of-2 batch
     # buckets x the TEXTS' two T_in buckets (32 with only-short texts, 48
     # when the longest rides along), plus their batched Griffin-Lim programs
+    # (16 first: the depth-adaptive coalescer grows waves past max_batch=8
+    # up to max_batch_hard=16 under backlog — round-5's first serving run
+    # paid a 78 s in-request compile at concurrency 16 because this warmup
+    # stopped at 8)
     short, long_ = TEXTS[0], TEXTS[1]
-    for nb in (8, 4, 2, 1):
+    for nb in (16, 8, 4, 2, 1):
         synth.synthesize_batch([short] * nb)
         synth.synthesize_batch(([long_] + [short] * (nb - 1)) if nb > 1 else [long_])
     synth.synthesize(short)  # single path uses the unbatched GL program
     synth.synthesize(long_)
 
     rows = []
-    total = 8 if args.quick else 48
+    total = 8 if args.quick else 96
     conc_list = [1, 4] if args.quick else [1, 4, 8, 16]
 
     httpd = start_server(cfg, synth, port=8761, max_batch=8)

@@ -90,6 +90,26 @@ def main() -> None:
         results.append(row)
         print(json.dumps(row))
 
+    # ---- training-batch padding waste (metadata-only, no device) ----------
+    # measured over the 10k-utterance campaign corpus when it exists
+    # (VERDICT r4 #6; the trade-off table lives in config.py
+    # mel_pad_multiple and CLAUDE.md)
+    camp_meta = "/tmp/campaign_r5/training_data/train.txt"
+    if os.path.exists(camp_meta):
+        from tacotronv2_wavernn_chinese_tpu.data.loader import TacotronDataset
+        from tacotronv2_wavernn_chinese_tpu.data.preprocess import read_metadata
+
+        _rows = read_metadata(camp_meta)
+        for mm in (64, 32):
+            _cfg = cfg.override(f"tacotron_train.mel_pad_multiple={mm}")
+            _ds = TacotronDataset(_rows, os.path.dirname(camp_meta), _cfg)
+            st = _ds.padding_stats([1234, 1235, 1236, 1237])
+            emit("tacotron_batch_padding_fraction", st["frac_pad_mel"],
+                 "frac_mel_frames", mel_pad_multiple=mm,
+                 bucket_multiple_only=st["frac_pad_mel_bucket"],
+                 inputs=st["frac_pad_inputs"], n_batches=st["n_batches"],
+                 default=(mm == cfg.tacotron_train.mel_pad_multiple))
+
     # ---- mel extraction ---------------------------------------------------
     pipe = MelPipeline(cfg.audio)
     B_mel, secs = (8, 2) if args.quick else (32, 5)
