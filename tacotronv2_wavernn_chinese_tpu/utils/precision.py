@@ -1,13 +1,25 @@
 """Mixed-precision training policy: bf16 weights, f32 master + state.
 
 The reference trains both models in f32 throughout (TF 1.14 defaults /
-torch CPU, reference tacotron_hparams.py, wavernn_train.py:46).  On TPU the
-training hot loops (the teacher-forced decoder ``lax.scan`` and the WaveRNN
-GRU scan) are HBM-bound on *weight* reads: every scan step re-reads the
-recurrent matrices.  Casting weights to bf16 halves that traffic while the
-MXU already runs f32 matmuls as bf16 passes (default TPU precision), so
-activations and the loss can stay f32 — this is "weight-only" mixed
-precision, the numerically safest variant (no loss scaling needed).
+torch CPU, reference tacotron_hparams.py, wavernn_train.py:46).  This
+module provides the numerically safest mixed variant — bf16 weights with
+an f32 master, no loss scaling needed — behind
+``*_train.mixed_precision`` (default OFF).
+
+Measured value on v5e: **a no-op at training batch sizes** — marginal
+(dispatch-constant-cancelled) whole-step speedup 0.94x (tacotron B=32,
+T=512) and 1.03x (wavernn B=32), BENCH_SUITE_r5 ``*_mp_marginal`` rows.
+That measurement is itself the diagnosis: if the training scans re-read
+the recurrent weights from HBM every step, halving weight bytes would buy
+~1.3x (tacotron decoder weights ~25 MB x 512 steps ~= 12.8 GB/forward
+~= 15 ms of the 31 ms step at HBM speed); the observed <=1.03x means XLA
+already hoists the loop-invariant weights (the bf16->f32 upcast is
+hoisted too), so there is no weight traffic to save, and the residual
+step time sits in the serial recurrence + VPU/attention work the
+trainer-kernel decomposition documented (BASELINE.md "Training-throughput
+axis").  The knob stays for model-scaling headroom (larger-than-VMEM
+weights) and as the numerics testbed the kernel bf16 modes validate
+against.
 
 Policy (``cast_params``):
 * float weight leaves -> bf16 (XLA fuses the upcast into consuming dots, so
