@@ -97,7 +97,7 @@ class Synthesizer:
         self._gl_jit_batch = jax.jit(
             jax.vmap(lambda m: inv_mel_spectrogram(m, self.pipe))
         )
-        mcfg, mi = cfg.tacotron, self.max_iters
+        mcfg = cfg.tacotron
         # fused decoder kernel on TPU when the config + call shape support it
         # (3x faster per decode step than the XLA while_loop); outside the
         # kernel's shape envelope the XLA path is used for that shape.
@@ -105,18 +105,26 @@ class Synthesizer:
         from ..ops.tacotron_decoder_kernel import supported_shape as _dk_shape
 
         kernel_ok = _dk_supported(mcfg) and is_tpu_backend()
+        # ``mi`` (max decode length) rides as a STATIC call argument read
+        # from ``self.max_iters`` at call time, NOT a construction-time
+        # closure constant: callers legitimately assign ``synth.max_iters``
+        # after construction (bench_serving caps decode length on restored
+        # checkpoints), and a baked-in value made that a silent no-op that
+        # compiled the full-length (1000-frame) program instead — a ~1 h
+        # remote compile for the B=16 fused decode+GL variant.
         _jit = {
             flag: jax.jit(
-                lambda params, inputs, lens, rng, f=flag: T.forward_inference(
+                lambda params, inputs, lens, rng, mi, f=flag: T.forward_inference(
                     params, mcfg, inputs, lens, rng, mi, use_pallas_decoder=f
-                )
+                ),
+                static_argnums=(4,),
             )
             for flag in (False, True)
         }
 
         def infer(params, inputs, lens, rng):
             use = kernel_ok and _dk_shape(inputs.shape[0], inputs.shape[1], mcfg)
-            return _jit[use](params, inputs, lens, rng)
+            return _jit[use](params, inputs, lens, rng, int(self.max_iters))
 
         self._infer = infer
 
@@ -124,7 +132,7 @@ class Synthesizer:
         # dispatch instead of decode + transfer + GL = ~2 RTTs + a mel copy
         # on the serving path).  Post-stop frames are masked to silence ON
         # DEVICE so the reconstruction matches the trimmed-mel semantics.
-        def _infer_gl_impl(params, inputs, lens, rng, f):
+        def _infer_gl_impl(params, inputs, lens, rng, mi, f):
             out = T.forward_inference(
                 params, mcfg, inputs, lens, rng, mi, use_pallas_decoder=f
             )
@@ -144,13 +152,14 @@ class Synthesizer:
             return wavs, out.mel_outputs, out.alignments, out.stop_lengths
 
         _jit_gl = {
-            flag: jax.jit(functools.partial(_infer_gl_impl, f=flag))
+            flag: jax.jit(functools.partial(_infer_gl_impl, f=flag),
+                          static_argnums=(4,))
             for flag in (False, True)
         }
 
         def infer_gl(params, inputs, lens, rng):
             use = kernel_ok and _dk_shape(inputs.shape[0], inputs.shape[1], mcfg)
-            return _jit_gl[use](params, inputs, lens, rng)
+            return _jit_gl[use](params, inputs, lens, rng, int(self.max_iters))
 
         self._infer_gl = infer_gl
 

@@ -356,3 +356,27 @@ def test_synthesize_batch_with_wavernn(taco_state, tmp_path):
     for r in results:
         assert r["wav"].size > 0 and np.isfinite(r["wav"]).all()
         assert r["wav"].shape[0] == r["mel"].shape[0] * CFG.audio.hop_size
+
+
+def test_max_iters_assignment_after_construction(taco_state):
+    """`synth.max_iters = N` AFTER construction must take effect: the decode
+    length cap is a static call argument read at call time, not a
+    construction-time closure constant.  Regression: bench_serving assigned
+    it on a restored checkpoint and the silent no-op compiled the
+    full-length (cfg max_iters) program — a ~1 h remote compile for the
+    B=16 fused decode+GL variant."""
+    params = dict(
+        taco_state.params,
+        stop_projection=jax.tree.map(
+            lambda x: x - 20.0 if x.ndim == 1 else x,
+            taco_state.params["stop_projection"],
+        ),
+    )  # stop never fires -> decode runs to the cap
+    synth = Synthesizer(CFG, params, max_iters=40)
+    synth.max_iters = 12
+    r = CFG.tacotron.outputs_per_step
+    out = synth.synthesize("你好。")
+    assert out["mel"].shape[0] <= 12 * r, out["mel"].shape
+    synth.max_iters = 24
+    out2 = synth.synthesize("你好。")
+    assert 12 * r < out2["mel"].shape[0] <= 24 * r, out2["mel"].shape
