@@ -436,6 +436,15 @@ def main() -> None:
         "--max-batch-hard", type=int, default=None,
         help="batch ceiling once a backlog forms (default 2x max-batch)",
     )
+    ap.add_argument(
+        "--max-iters", type=int, default=None,
+        help="decode-length cap in decoder steps (default: config max_iters,"
+             " 2000). Griffin-Lim-vocoded serving compiles one fused"
+             " decode+reconstruction program per batch bucket whose compile"
+             " time grows ~0.5 s per decoder step at batch 16 — bound this"
+             " to your real utterance lengths to keep startup warmup short"
+             " (the WaveRNN-vocoded path is far less sensitive)",
+    )
     ap.add_argument("--override", default="")
     args = ap.parse_args()
 
@@ -444,7 +453,8 @@ def main() -> None:
     cfg = default_config()
     if args.override:
         cfg = cfg.override(args.override)
-    synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, args.wavernn_ckpt_dir)
+    synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, args.wavernn_ckpt_dir,
+                                         max_iters=args.max_iters)
     # warm the jit cache so no request pays compile time: the single path
     # plus every power-of-2 coalesced-batch bucket the adaptive micro-batcher
     # can form (pad_batch rounds B up to these), up to the backlog ceiling
