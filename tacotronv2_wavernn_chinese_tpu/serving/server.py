@@ -411,6 +411,9 @@ def serve(
         request_queue_size = 128
 
     httpd = _Server((host, port), make_handler(service))
+    # expose the service (warmup + tests read its resolved knobs, e.g.
+    # max_batch_hard, instead of re-deriving them)
+    httpd.service = service
     infolog.log(f"TTS server on http://{host}:{port} (POST /generate_tts)")
     return httpd
 
@@ -455,21 +458,29 @@ def main() -> None:
         cfg = cfg.override(args.override)
     synth = Synthesizer.from_checkpoints(cfg, args.ckpt_dir, args.wavernn_ckpt_dir,
                                          max_iters=args.max_iters)
-    # warm the jit cache so no request pays compile time: the single path
-    # plus every power-of-2 coalesced-batch bucket the adaptive micro-batcher
-    # can form (pad_batch rounds B up to these), up to the backlog ceiling
-    infolog.log("warming up...")
-    synth.synthesize("你好。")
-    hard = max(args.max_batch, args.max_batch_hard or 2 * args.max_batch)
-    nb = 2
-    while nb <= hard:
-        synth.synthesize_batch(["你好。"] * nb, pad_batch=True)
-        nb *= 2
-    serve(
+    # bind first (connections queue until serve_forever), then warm the jit
+    # cache so no request pays compile time: the single path plus every
+    # power-of-2 coalesced-batch bucket the adaptive micro-batcher can form.
+    # The ceiling comes from the SERVICE's resolved max_batch_hard (not a
+    # re-derivation of its default formula), and warms through the next
+    # power of two >= it — pad_batch rounds any wave up to a power of two,
+    # so a non-power-of-two ceiling (e.g. hard=12 -> 16-row batches) must
+    # warm the rounded bucket or the first backlog wave compiles in-request.
+    httpd = serve(
         cfg, synth, args.host, args.port,
         max_batch=args.max_batch, max_queue=args.max_queue,
         max_batch_hard=args.max_batch_hard,
-    ).serve_forever()
+    )
+    infolog.log("warming up...")
+    synth.synthesize("你好。")
+    hard = httpd.service.max_batch_hard
+    top = 1 << (hard - 1).bit_length() if hard > 1 else 1
+    nb = 2
+    while nb <= top:
+        synth.synthesize_batch(["你好。"] * nb, pad_batch=True)
+        nb *= 2
+    infolog.log("warmup done; serving")
+    httpd.serve_forever()
 
 
 if __name__ == "__main__":

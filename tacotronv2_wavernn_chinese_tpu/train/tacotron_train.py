@@ -161,8 +161,11 @@ def run_training(
 
     with ctx:
         if tc.precompile_buckets and step < total_steps:
+            # same end-of-run gate as the wavernn prewarm: the fused K-step
+            # variant can't execute when fewer than K steps remain
+            warm_spd = spd if total_steps - step >= spd else 1
             _prewarm_bucket_shapes(
-                cfg, dataset, state, mesh, spd, total_steps, step, log
+                cfg, dataset, state, mesh, warm_spd, total_steps, step, log
             )
         while step < total_steps:
             stream = dataset.batches(epoch_seed=tc.data_seed + epoch)

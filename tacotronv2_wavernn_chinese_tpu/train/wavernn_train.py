@@ -139,7 +139,11 @@ def run_training(
                 _gen_testset(cfg, state.params, dataset, out_dir, step, log)
 
     if wc.precompile and step < total_steps:
-        _prewarm_shapes(cfg, state, mesh, spd, log)
+        # near the end of a resumed run the fused K-step variant can never
+        # execute (fused_groups only forms full-K groups while
+        # step + K <= total_steps) — don't pay its compile for nothing
+        warm_spd = spd if total_steps - step >= spd else 1
+        _prewarm_shapes(cfg, state, mesh, warm_spd, log)
 
     while step < total_steps:
         # vocoder windows are fixed-size, so any spd consecutive batches

@@ -43,6 +43,14 @@ def main() -> None:
                          "report (and its checkpoints in --work)")
     args = ap.parse_args()
 
+    if args.skip_taco and not (args.out and os.path.exists(args.out)):
+        # --skip-taco keeps the stale logs-tacotron dir on the assumption a
+        # prior report supplies the tacotron section; without one, the run
+        # would fall through to retraining on that stale dir and die with
+        # the confusing "training finished before the kill step was reached"
+        raise SystemExit("--skip-taco requires an existing --out report "
+                         "whose tacotron section (and checkpoints in --work) "
+                         "can be reused")
     os.makedirs(args.work, exist_ok=True)
     # A reused --work dir keeps corpus + features (expensive, reusable) but
     # must NOT keep training state: a prior run's checkpoints + append-only
